@@ -1,0 +1,173 @@
+"""High-level solve workflows — the framework equivalent of the reference's
+driver layer (reference solve.py:288-327 and apply.py:8-82), returning
+structured reports instead of prints.
+
+`solve_multiphase` reproduces the three reference solve paths
+(solve_without_pc / solve_with_exact_schur_pc / solve_with_approx_schur_pc,
+reference solve.py:202-286) plus TPU-native preconditioner configurations the
+reference could not express (matrix-free inner Krylov, block PCs).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+from typing import Callable
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from mpbp_tpu.models import mms
+from mpbp_tpu.models.multiphase import (ALL_FIELDS, MultiphaseOperator,
+                                        make_multiphase_operator)
+from mpbp_tpu.solvers import gmres as krylov
+from mpbp_tpu.solvers import preconditioners as pcs
+from mpbp_tpu.utils.norms import norms_report
+
+
+@dataclasses.dataclass
+class SolveReport:
+    """Everything the reference prints (residual history, norms —
+    reference solve.py:161-170, utils.py:19-26), as data."""
+
+    n: int
+    pc: str
+    iters: int
+    relres: float
+    converged: bool
+    res_history: np.ndarray
+    error_norms: dict          # weighted L1/L2/max vs the MMS exact solution
+    x: jax.Array
+    params: dict
+
+
+def pack_fields(op: MultiphaseOperator, state: dict) -> jax.Array:
+    return jnp.concatenate([state[f].ravel() for f in ALL_FIELDS])
+
+
+def unpack_fields(op: MultiphaseOperator, v: jax.Array) -> dict:
+    n = op.grid.n
+    n2 = n * n
+    return {f: v[i * n2:(i + 1) * n2].reshape(n, n)
+            for i, f in enumerate(ALL_FIELDS)}
+
+
+def a_matvec(op: MultiphaseOperator) -> Callable:
+    """Flat matrix-free matvec for the coupled operator A."""
+
+    def mv(v):
+        return pack_fields(op, op.A.apply(unpack_fields(op, v)))
+
+    return mv
+
+
+def make_preconditioner(op: MultiphaseOperator, kind: str,
+                        ilut_fill: int = 100, ilut_tau: float = 1e-3,
+                        inner_tol: float = 1e-4, inner_iters: int = 60,
+                        dtype=jnp.float64) -> Callable | None:
+    """Build a named preconditioner configuration.
+
+    kinds:
+      none        — unpreconditioned (reference solve.py:202-208)
+      exact_schur — dense exact Schur complement (reference solve.py:210-238)
+      lsc_ilut    — LSC with ILUT(fill, tau) inner solves — reference-parity
+                    configuration (reference solve.py:240-286)
+      lsc_ilu0    — LSC with ILU(0) inner solves
+      lsc_krylov  — LSC with matrix-free inner Krylov (CG on GtG, GMRES on F)
+      block_diag  — block-diagonal F/Schur PC (BASELINE configs[0])
+      block_tri   — block lower-triangular PC (BASELINE configs[1])
+    """
+    if kind == "none":
+        return None
+    if kind == "exact_schur":
+        return pcs.make_exact_schur_pc(op)
+
+    GtG, GtFG = pcs.lsc_products(op)
+
+    if kind in ("lsc_ilut", "lsc_ilu0", "block_diag", "block_tri"):
+        if kind == "lsc_ilu0":
+            f_inner = pcs.ILUInner.ilu0_of(op.F, dtype=dtype)
+            p_inner = pcs.ILUInner.ilu0_of(GtG, dtype=dtype)
+        else:
+            f_inner = pcs.ILUInner.ilut_of(op.F, fill=ilut_fill, tau=ilut_tau,
+                                           dtype=dtype)
+            p_inner = pcs.ILUInner.ilut_of(GtG, fill=ilut_fill, tau=ilut_tau,
+                                           dtype=dtype)
+        if kind == "block_diag":
+            return pcs.make_block_diagonal_pc(op, f_inner, p_inner)
+        if kind == "block_tri":
+            return pcs.make_block_triangular_pc(op, f_inner, p_inner)
+        return pcs.make_lsc_pc(op, f_inner, p_inner)
+
+    if kind == "lsc_krylov":
+        f_mv = krylov.flatten_op(op.F.apply,
+                                 {f: jnp.zeros(op.grid.shape, dtype)
+                                  for f in op.F.in_fields}, op.F.in_fields)
+        g_mv = krylov.flatten_op(GtG.apply,
+                                 {"p": jnp.zeros(op.grid.shape, dtype)}, ("p",))
+        f_inner = pcs.KrylovInner(f_mv, tol=inner_tol, maxiter=inner_iters,
+                                  method="gmres")
+        p_inner = pcs.KrylovInner(g_mv, tol=inner_tol, maxiter=inner_iters,
+                                  method="cg")
+        return pcs.make_lsc_pc(op, f_inner, p_inner)
+
+    raise ValueError(f"unknown preconditioner kind: {kind}")
+
+
+def solve_multiphase(n: int = 16, c: float = 1.0, d: float = -1.0,
+                     xi: float = 1.0, eta_n: float = 1.0, eta_s: float = 1.0,
+                     pc: str = "lsc_ilut", tol: float = 1e-8,
+                     maxiter: int = 150, problem: str = "variable",
+                     dtype=jnp.float64, **pc_kwargs) -> SolveReport:
+    """End-to-end MMS solve, mirroring reference solve.py main +
+    solve_with_* (defaults n=16, c=1, d=-1, xi=1, reference solve.py:290-297)."""
+    from mpbp_tpu.models.fields import constant_thn
+
+    thn_fn_kwargs = {}
+    if problem == "constant":
+        thn_fn_kwargs["thn_fn"] = constant_thn(0.75)
+        prob = mms.constant_thn_problem(c, d, xi, eta_n, eta_s)
+    else:
+        prob = mms.variable_thn_problem(c, d, xi, eta_n, eta_s)
+
+    op = make_multiphase_operator(n, c=c, d=d, xi=xi, eta_n=eta_n,
+                                  eta_s=eta_s, dtype=dtype, **thn_fn_kwargs)
+    u_exact, b = mms.fill_sol_and_rhs(op.grid, prob)
+    b_vec = pack_fields(op, b)
+    u_vec = pack_fields(op, u_exact)
+
+    M = make_preconditioner(op, pc, dtype=dtype, **pc_kwargs)
+    result = krylov.fgmres(a_matvec(op), b_vec, tol=tol, maxiter=maxiter, M=M)
+
+    err = norms_report(result.x, u_vec, op.grid.dx, op.grid.dy)
+    hist = np.asarray(result.res_history)
+    hist = hist[~np.isnan(hist)]
+    return SolveReport(
+        n=n, pc=pc, iters=int(result.iters), relres=float(result.relres),
+        converged=bool(result.converged), res_history=hist,
+        error_norms=err, x=result.x,
+        params=dict(c=c, d=d, xi=xi, eta_n=eta_n, eta_s=eta_s, tol=tol,
+                    maxiter=maxiter, problem=problem),
+    )
+
+
+def apply_report(n: int = 32, c: float = 1.0, d: float = -1.0,
+                 xi: float = 1.0, eta_n: float = 1.0, eta_s: float = 1.0,
+                 problem: str = "variable", dtype=jnp.float64) -> dict:
+    """The capability of `python apply.py` (reference apply.py:8-82, with its
+    latent arity bugs fixed — SURVEY.md section 2.3): apply A to the exact
+    MMS solution and report norms vs the exact RHS."""
+    from mpbp_tpu.models.fields import constant_thn
+
+    kwargs = {}
+    if problem == "constant":
+        kwargs["thn_fn"] = constant_thn(0.75)
+        prob = mms.constant_thn_problem(c, d, xi, eta_n, eta_s)
+    else:
+        prob = mms.variable_thn_problem(c, d, xi, eta_n, eta_s)
+    op = make_multiphase_operator(n, c=c, d=d, xi=xi, eta_n=eta_n,
+                                  eta_s=eta_s, dtype=dtype, **kwargs)
+    u, b = mms.fill_sol_and_rhs(op.grid, prob)
+    b_approx = op.A.apply(u)
+    return norms_report(b_approx, b, op.grid.dx, op.grid.dy)

@@ -1,0 +1,75 @@
+"""Incomplete-LU preconditioners: host factorization + TPU wavefront apply.
+
+TPU-native equivalent of `ilupp.ILUTPreconditioner` (reference solve.py:250-254
+with fill_in=100, threshold=0.001): the factorization runs once on the host in
+native C++ (mpbp_tpu/native/csparse.cpp), and the factor *application* — the
+per-iteration hot path (reference solve.py:258, 265, 271, 274) — runs on
+device through level-scheduled triangular solves (ops/trisolve.py).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from mpbp_tpu import native
+from mpbp_tpu.ops.sparse import CSRMatrix
+from mpbp_tpu.ops.trisolve import LevelTriSolve, neumann_trisolve
+
+
+@jax.tree_util.register_pytree_node_class
+@dataclasses.dataclass
+class ILUPreconditioner:
+    """Factored M = L U ~ A; apply computes M^-1 v = U^-1 (L^-1 v)."""
+
+    lower: LevelTriSolve
+    upper: LevelTriSolve
+
+    def tree_flatten(self):
+        return (self.lower, self.upper), ()
+
+    @classmethod
+    def tree_unflatten(cls, aux, leaves):
+        return cls(*leaves)
+
+    @classmethod
+    def ilut(cls, A: CSRMatrix, fill: int = 100, tau: float = 1e-3,
+             dtype=jnp.float64) -> "ILUPreconditioner":
+        """ILUT(fill, tau) — parameter parity with the reference's
+        ilupp.ILUTPreconditioner(fill_in=100, threshold=0.001)."""
+        indptr, indices, vals = A.host_arrays()
+        (Lp, Li, Lv), (Up, Ui, Uv) = native.ilut(indptr, indices, vals,
+                                                 fill=fill, tau=tau)
+        return cls._from_factors(Lp, Li, Lv, Up, Ui, Uv, dtype)
+
+    @classmethod
+    def ilu0(cls, A: CSRMatrix, dtype=jnp.float64) -> "ILUPreconditioner":
+        """ILU(0) — zero-fill factorization on A's sparsity pattern."""
+        indptr, indices, vals = A.host_arrays()
+        (Lp, Li, Lv), (Up, Ui, Uv) = native.ilu0(indptr, indices, vals)
+        return cls._from_factors(Lp, Li, Lv, Up, Ui, Uv, dtype)
+
+    @classmethod
+    def _from_factors(cls, Lp, Li, Lv, Up, Ui, Uv, dtype):
+        # L: strictly lower, unit diagonal implicit.
+        lower = LevelTriSolve.from_csr(Lp, Li, Lv, is_upper=False, dtype=dtype)
+        # U rows store the diagonal first: split it out.
+        n = len(Up) - 1
+        diag = np.asarray(Uv)[np.asarray(Up[:-1])]
+        keep = np.ones(len(Ui), bool)
+        keep[np.asarray(Up[:-1])] = False
+        newptr = np.zeros(n + 1, np.int64)
+        newptr[1:] = np.cumsum(np.diff(Up) - 1)
+        upper = LevelTriSolve.from_csr(newptr, Ui[keep], Uv[keep],
+                                       is_upper=True, diag_vals=diag,
+                                       dtype=dtype)
+        return cls(lower, upper)
+
+    def solve(self, v: jax.Array) -> jax.Array:
+        return self.upper.solve(self.lower.solve(v))
+
+    def __call__(self, v: jax.Array) -> jax.Array:
+        return self.solve(v)

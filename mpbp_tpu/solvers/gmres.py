@@ -1,0 +1,282 @@
+"""JAX-native Krylov drivers: FGMRES / GMRES / CG.
+
+TPU-native replacement for the reference's outer Krylov layer
+(pyamg.krylov.fgmres at reference solve.py:8, 207, 237, 285 and
+scipy gmres at solve.py:221). Design choices for TPU:
+
+  * The whole solve is one `lax.while_loop` under `jit` — no host round-trips
+    per iteration (the reference pays a Python->BLAS boundary every matvec).
+  * Orthogonalization is classical Gram-Schmidt with one re-orthogonalization
+    pass (CGS2): two (m x N) GEMVs per iteration instead of m sequential dots,
+    so the reductions are two fused all-reduces on a sharded mesh — the
+    "fused Arnoldi reduction" of SURVEY.md section 2.4. CGS2 has MGS-grade
+    stability in practice (Giraud et al.).
+  * The Hessenberg QR is maintained incrementally with Givens rotations on
+    SMEM-resident scalars; the residual estimate |g[j+1]| is monitored inside
+    the loop, so convergence checks cost nothing.
+  * Flexible preconditioning stores Z_j = M(v_j) (pyamg fgmres semantics):
+    required because inner solves (ILU sweeps, inner Krylov, multigrid) vary
+    per iteration.
+
+All solvers operate on flat 1-D vectors; use StencilOperator.pack/unpack or
+`flatten_op` below to adapt grid-field operators.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+from typing import Callable, NamedTuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+class KrylovResult(NamedTuple):
+    x: jax.Array
+    iters: jax.Array          # number of iterations performed
+    relres: jax.Array         # final relative residual estimate
+    res_history: jax.Array    # (maxiter+1,) residual-norm estimates, NaN-padded
+    converged: jax.Array
+
+
+def flatten_op(op_apply: Callable, template: dict, fields) -> Callable:
+    """Adapt a grid-field operator to flat vectors."""
+    fields = tuple(fields)
+    shapes = {f: template[f].shape for f in fields}
+    sizes = [int(np.prod(shapes[f])) for f in fields]
+    offsets = np.concatenate([[0], np.cumsum(sizes)])
+
+    def matvec(v):
+        x = {f: v[int(offsets[i]):int(offsets[i + 1])].reshape(shapes[f])
+             for i, f in enumerate(fields)}
+        y = op_apply(x)
+        return jnp.concatenate([y[f].ravel() for f in fields])
+
+    return matvec
+
+
+def _identity(v):
+    return v
+
+
+@partial(jax.jit, static_argnames=("matvec", "M", "maxiter", "use_z"))
+def _fgmres_cycle(matvec, b, x0, tol, maxiter: int, M, use_z: bool):
+    N = b.shape[0]
+    dtype = b.dtype
+    m = maxiter
+
+    b_norm = jnp.linalg.norm(b)
+    safe_bnorm = jnp.where(b_norm == 0, 1.0, b_norm)
+
+    r0 = b - matvec(x0)
+    beta = jnp.linalg.norm(r0)
+
+    V = jnp.zeros((m + 1, N), dtype)
+    Z = jnp.zeros((m if use_z else 0, N), dtype)
+    H = jnp.zeros((m + 1, m), dtype)       # stores the R factor (rotated)
+    cs = jnp.zeros(m, dtype)
+    sn = jnp.zeros(m, dtype)
+    g = jnp.zeros(m + 1, dtype).at[0].set(beta)
+    hist = jnp.full(m + 1, jnp.nan, dtype).at[0].set(beta)
+
+    V = V.at[0].set(jnp.where(beta > 0, r0 / beta, r0))
+
+    def cond(carry):
+        j, V, Z, H, cs, sn, g, hist, done = carry
+        return (~done) & (j < m)
+
+    def body(carry):
+        j, V, Z, H, cs, sn, g, hist, done = carry
+        v = V[j]
+        z = M(v)
+        w = matvec(z)
+        if use_z:
+            Z = Z.at[j].set(z)
+
+        # CGS2: rows of V beyond j are zero, so the masked dots vanish.
+        h1 = V @ w
+        w = w - V.T @ h1
+        h2 = V @ w
+        w = w - V.T @ h2
+        h = h1 + h2
+        wnorm = jnp.linalg.norm(w)
+        h = h.at[j + 1].set(wnorm)
+        V = V.at[j + 1].set(jnp.where(wnorm > 0, w / wnorm, w))
+
+        # Apply existing Givens rotations to the new column.
+        def rot_body(i, hv):
+            hi = cs[i] * hv[i] + sn[i] * hv[i + 1]
+            hip = -sn[i] * hv[i] + cs[i] * hv[i + 1]
+            valid = i < j
+            hv = hv.at[i].set(jnp.where(valid, hi, hv[i]))
+            hv = hv.at[i + 1].set(jnp.where(valid, hip, hv[i + 1]))
+            return hv
+
+        h = jax.lax.fori_loop(0, m, rot_body, h)
+
+        # New rotation annihilating h[j+1].
+        rho = jnp.sqrt(h[j] ** 2 + h[j + 1] ** 2)
+        rho_safe = jnp.where(rho == 0, 1.0, rho)
+        c_new = jnp.where(rho == 0, 1.0, h[j] / rho_safe)
+        s_new = jnp.where(rho == 0, 0.0, h[j + 1] / rho_safe)
+        cs = cs.at[j].set(c_new)
+        sn = sn.at[j].set(s_new)
+        h = h.at[j].set(c_new * h[j] + s_new * h[j + 1]).at[j + 1].set(0.0)
+        H = H.at[:, j].set(h)
+
+        g_jp1 = -s_new * g[j]
+        g = g.at[j + 1].set(g_jp1).at[j].set(c_new * g[j])
+        res = jnp.abs(g_jp1)
+        hist = hist.at[j + 1].set(res)
+
+        done = (res / safe_bnorm) < tol
+        # Lucky breakdown: exact solution found.
+        done = done | (wnorm == 0)
+        return (j + 1, V, Z, H, cs, sn, g, hist, done)
+
+    init = (jnp.array(0), V, Z, H, cs, sn, g, hist,
+            (beta / safe_bnorm) < tol)
+    j, V, Z, H, cs, sn, g, hist, done = jax.lax.while_loop(cond, body, init)
+
+    # Back-substitution on the j x j triangular system (masked to full m).
+    valid = jnp.arange(m) < j
+    diag = jnp.where(valid, jnp.diagonal(H[:m, :m]), 1.0)
+    Hsolve = jnp.where(valid[None, :] & valid[:, None], H[:m, :m],
+                       jnp.eye(m, dtype=dtype))
+    Hsolve = Hsolve.at[jnp.arange(m), jnp.arange(m)].set(
+        jnp.where(valid, diag, 1.0))
+    rhs = jnp.where(valid, g[:m], 0.0)
+    y = jax.scipy.linalg.solve_triangular(Hsolve, rhs, lower=False)
+    y = jnp.where(valid, y, 0.0)
+
+    if use_z:
+        dx = Z.T @ y
+    else:
+        dx = M(V[:m].T @ y)
+    x = x0 + dx
+    res_final = jnp.where(j > 0, jnp.abs(g[jnp.minimum(j, m)]), beta)
+    return KrylovResult(x, j, res_final / safe_bnorm, hist, done)
+
+
+def fgmres(matvec: Callable, b: jax.Array, x0: jax.Array | None = None,
+           tol: float = 1e-8, maxiter: int = 100,
+           M: Callable | None = None, restart: int | None = None
+           ) -> KrylovResult:
+    """Flexible right-preconditioned GMRES.
+
+    Matches the reference usage (pyamg fgmres with restrt=None, reference
+    solve.py:285): no restarts by default — maxiter is the Krylov dimension.
+    Pass `restart` to run restarted cycles (host loop over jitted cycles).
+    """
+    if x0 is None:
+        x0 = jnp.zeros_like(b)
+    M = M if M is not None else _identity
+    if restart is None or restart >= maxiter:
+        return _fgmres_cycle(matvec, b, x0, tol, maxiter, M, True)
+
+    x = x0
+    total_iters = 0
+    hists = []
+    result = None
+    remaining = maxiter
+    while remaining > 0:
+        cycle = min(restart, remaining)
+        result = _fgmres_cycle(matvec, b, x, tol, cycle, M, True)
+        x = result.x
+        it = int(result.iters)
+        total_iters += it
+        hists.append(np.asarray(result.res_history[: it + 1]))
+        remaining -= cycle
+        if bool(result.converged):
+            break
+    hist = np.concatenate(hists) if hists else np.array([])
+    full_hist = jnp.full(maxiter + 1, jnp.nan, b.dtype)
+    full_hist = full_hist.at[: len(hist)].set(jnp.asarray(hist))
+    return KrylovResult(x, jnp.asarray(total_iters), result.relres,
+                        full_hist, result.converged)
+
+
+def gmres(matvec: Callable, b: jax.Array, x0: jax.Array | None = None,
+          tol: float = 1e-8, maxiter: int = 100,
+          M: Callable | None = None, restart: int | None = None
+          ) -> KrylovResult:
+    """Right-preconditioned GMRES with a *fixed* preconditioner: avoids
+    storing the Z basis (halves Krylov memory) by re-applying M once at the
+    solution update."""
+    if x0 is None:
+        x0 = jnp.zeros_like(b)
+    M = M if M is not None else _identity
+    if restart is None or restart >= maxiter:
+        return _fgmres_cycle(matvec, b, x0, tol, maxiter, M, False)
+    x = x0
+    total_iters = 0
+    result = None
+    remaining = maxiter
+    while remaining > 0:
+        cycle = min(restart, remaining)
+        result = _fgmres_cycle(matvec, b, x, tol, cycle, M, False)
+        x = result.x
+        total_iters += int(result.iters)
+        remaining -= cycle
+        if bool(result.converged):
+            break
+    return KrylovResult(x, jnp.asarray(total_iters), result.relres,
+                        result.res_history, result.converged)
+
+
+@partial(jax.jit, static_argnames=("matvec", "M", "maxiter"))
+def cg(matvec: Callable, b: jax.Array, x0: jax.Array | None = None,
+       tol: float = 1e-8, maxiter: int = 200, M: Callable = _identity
+       ) -> KrylovResult:
+    """Preconditioned conjugate gradients for SPD operators (inner solves on
+    the pressure Poisson block Gt_G — the SPD analog of the reference's ILU
+    inner solve at solve.py:265)."""
+    if x0 is None:
+        x0 = jnp.zeros_like(b)
+    b_norm = jnp.linalg.norm(b)
+    safe_bnorm = jnp.where(b_norm == 0, 1.0, b_norm)
+
+    r = b - matvec(x0)
+    z = M(r)
+    p = z
+    rz = jnp.vdot(r, z)
+    hist = jnp.full(maxiter + 1, jnp.nan, b.dtype).at[0].set(jnp.linalg.norm(r))
+
+    def cond(carry):
+        j, x, r, z, p, rz, hist, done = carry
+        return (~done) & (j < maxiter)
+
+    def body(carry):
+        j, x, r, z, p, rz, hist, done = carry
+        Ap = matvec(p)
+        pAp = jnp.vdot(p, Ap)
+        alpha = jnp.where(pAp != 0, rz / pAp, 0.0)
+        x = x + alpha * p
+        r = r - alpha * Ap
+        z = M(r)
+        rz_new = jnp.vdot(r, z)
+        beta = jnp.where(rz != 0, rz_new / rz, 0.0)
+        p = z + beta * p
+        rn = jnp.linalg.norm(r)
+        hist = hist.at[j + 1].set(rn)
+        done = (rn / safe_bnorm) < tol
+        return (j + 1, x, r, z, p, rz_new, hist, done)
+
+    init = (jnp.array(0), x0, r, z, p, rz, hist,
+            (jnp.linalg.norm(r) / safe_bnorm) < tol)
+    j, x, r, z, p, rz, hist, done = jax.lax.while_loop(cond, body, init)
+    return KrylovResult(x, j, jnp.linalg.norm(r) / safe_bnorm, hist, done)
+
+
+def jacobi(matvec: Callable, diag: jax.Array, b: jax.Array,
+           iters: int = 200, x0: jax.Array | None = None) -> jax.Array:
+    """Jacobi sweeps x <- x + D^-1 (b - A x) (reference solve.py:149-159)."""
+    x = jnp.zeros_like(b) if x0 is None else x0
+    inv_d = 1.0 / diag
+
+    def body(_, x):
+        return x + inv_d * (b - matvec(x))
+
+    return jax.lax.fori_loop(0, iters, body, x)

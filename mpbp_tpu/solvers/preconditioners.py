@@ -1,0 +1,270 @@
+"""Block preconditioners for the multiphase Stokes saddle-point system.
+
+TPU-native re-implementations of the reference's preconditioner layer
+(reference solve.py:210-286):
+
+  * `make_exact_schur_pc` — exact Schur-complement block back-substitution
+    (reference solve.py:210-238): u_hat = F^-1 v_u; x_p = -GMRES(S, D u_hat +
+    v_p); u = u_hat - F^-1 G x_p, with S = -D F^-1 G formed densely. Only
+    viable on small grids (S is dense — BASELINE.md last row); kept for
+    parity tests and spectral analysis.
+
+  * `make_lsc_pc` — the approximate-commutator / least-squares-commutator
+    Schur preconditioner (reference solve.py:240-286): S^-1 ~ (GtG)^-1
+    (Gt F G) (GtG)^-1 with GtG = (-D) G, applied with approximate inner
+    solves of F and GtG. The inner solves are pluggable (`InnerSolver`):
+    ILUT level-scheduled tri-solves for reference parity, or CG/Chebyshev/
+    Jacobi for a fully matrix-free TPU path.
+
+  * `make_block_diagonal_pc` / `make_block_triangular_pc` — the classical
+    block PCs (BASELINE.json configs[0]-[1]).
+
+All preconditioners are returned as flat-vector callables `z = M(v)` over the
+reference's vector layout [un, vn, us, vs, p] (reference utils.py:204-208),
+ready to pass as `M=` to solvers.gmres.fgmres.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Callable
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from mpbp_tpu.models.multiphase import (ALL_FIELDS, VEL_FIELDS,
+                                        MultiphaseOperator)
+from mpbp_tpu.ops.ilu import ILUPreconditioner
+from mpbp_tpu.ops.stencil import StencilOperator
+from mpbp_tpu.solvers import gmres as krylov
+
+
+# ---------------------------------------------------------------------------
+# helpers: pack/unpack between the flat layout and grid fields
+# ---------------------------------------------------------------------------
+def _sizes(op: MultiphaseOperator):
+    n2 = op.grid.n * op.grid.n
+    return 4 * n2, n2
+
+
+def split_uv_p(op: MultiphaseOperator, v: jax.Array):
+    nu, np_ = _sizes(op)
+    return v[:nu], v[nu:]
+
+
+def unpack_vel(op: MultiphaseOperator, vu: jax.Array) -> dict:
+    n = op.grid.n
+    n2 = n * n
+    return {f: vu[i * n2:(i + 1) * n2].reshape(n, n)
+            for i, f in enumerate(VEL_FIELDS)}
+
+
+def pack_vel(op: MultiphaseOperator, x: dict) -> jax.Array:
+    return jnp.concatenate([x[f].ravel() for f in VEL_FIELDS])
+
+
+# ---------------------------------------------------------------------------
+# Schur-complement building blocks (stencil-composed, never dense)
+# ---------------------------------------------------------------------------
+def lsc_products(op: MultiphaseOperator):
+    """Gt_G = (-D) G and Gt_F_G = (-D) F G as exact stencil operators —
+    the structured-SpGEMM replacement of reference solve.py:246-249."""
+    GtG = op.minus_D @ op.G
+    GtFG = (op.minus_D @ op.F) @ op.G
+    return GtG, GtFG
+
+
+# ---------------------------------------------------------------------------
+# Inner solvers
+# ---------------------------------------------------------------------------
+@dataclasses.dataclass
+class ILUInner:
+    """ILUT/ILU(0) inner solve via level-scheduled tri-solves."""
+
+    ilu: ILUPreconditioner
+
+    @classmethod
+    def ilut_of(cls, A_stencil: StencilOperator, fill=100, tau=1e-3,
+                dtype=jnp.float64, drop_tol=1e-14):
+        csr = A_stencil.to_csr(drop_tol=drop_tol)
+        return cls(ILUPreconditioner.ilut(csr, fill=fill, tau=tau, dtype=dtype))
+
+    @classmethod
+    def ilu0_of(cls, A_stencil: StencilOperator, dtype=jnp.float64,
+                drop_tol=1e-14):
+        csr = A_stencil.to_csr(drop_tol=drop_tol)
+        return cls(ILUPreconditioner.ilu0(csr, dtype=dtype))
+
+    def __call__(self, v: jax.Array) -> jax.Array:
+        return self.ilu.solve(v)
+
+
+@dataclasses.dataclass
+class KrylovInner:
+    """Fixed-budget inner Krylov solve (matrix-free). Because the outer
+    driver is *flexible* GMRES, a varying inner solve is legal — this is the
+    author's stated production target ('GMRES with multigrid PC',
+    reference solve.py:266, 274)."""
+
+    matvec: Callable
+    tol: float = 1e-6
+    maxiter: int = 50
+    method: str = "gmres"      # "gmres" | "cg"
+    M: Callable | None = None
+
+    def __call__(self, v: jax.Array) -> jax.Array:
+        if self.method == "cg":
+            res = krylov.cg(self.matvec, v, tol=self.tol, maxiter=self.maxiter,
+                            M=self.M if self.M is not None else (lambda x: x))
+        else:
+            res = krylov.gmres(self.matvec, v, tol=self.tol,
+                               maxiter=self.maxiter, M=self.M)
+        return res.x
+
+
+@dataclasses.dataclass
+class JacobiInner:
+    """Fixed Jacobi sweeps (reference solve.py:149-159 analog)."""
+
+    matvec: Callable
+    diag: jax.Array
+    iters: int = 200
+
+    def __call__(self, v: jax.Array) -> jax.Array:
+        return krylov.jacobi(self.matvec, self.diag, v, iters=self.iters)
+
+
+@dataclasses.dataclass
+class DenseInner:
+    """Precomputed dense (pseudo-)inverse — small grids / tests only
+    (the reference's pinv/lstsq path, solve.py:218-219)."""
+
+    inv: jax.Array
+
+    @classmethod
+    def of(cls, A_stencil: StencilOperator, pseudo=False):
+        d = A_stencil.to_dense()
+        inv = np.linalg.pinv(d) if pseudo else np.linalg.inv(d)
+        return cls(jnp.asarray(inv))
+
+    def __call__(self, v: jax.Array) -> jax.Array:
+        return self.inv @ v
+
+
+# ---------------------------------------------------------------------------
+# The LSC / approximate-commutator preconditioner (reference solve.py:240-286)
+# ---------------------------------------------------------------------------
+def make_lsc_pc(op: MultiphaseOperator,
+                f_inner: Callable,
+                p_inner: Callable) -> Callable:
+    """Approximate-commutator Schur PC.
+
+    apply(v):
+      u_hat = F~^-1 v_u                       (reference solve.py:258)
+      r_p   = D u_hat + v_p                   (solve.py:259)
+      x_a   = (GtG)~^-1 r_p                   (solve.py:265)
+      x_b   = (Gt F G) x_a                    (solve.py:267)
+      x_p   = (GtG)~^-1 x_b                   (solve.py:271)
+      u     = u_hat - F~^-1 (G x_p)           (solve.py:273-275)
+      return [u, x_p]
+    """
+    _, GtFG = lsc_products(op)
+    n = op.grid.n
+
+    def apply(v):
+        vu, vp = split_uv_p(op, v)
+        u_hat = f_inner(vu)
+        uh = unpack_vel(op, u_hat)
+        rp = op.D.apply(uh)["p"] + vp.reshape(n, n)
+        x_a = p_inner(rp.ravel())
+        x_b = GtFG.apply({"p": x_a.reshape(n, n)})["p"]
+        x_p = p_inner(x_b.ravel())
+        gxp = op.G.apply({"p": x_p.reshape(n, n)})
+        u = u_hat - f_inner(pack_vel(op, gxp))
+        return jnp.concatenate([u, x_p])
+
+    return apply
+
+
+# ---------------------------------------------------------------------------
+# Exact Schur-complement preconditioner (reference solve.py:210-238)
+# ---------------------------------------------------------------------------
+def make_exact_schur_pc(op: MultiphaseOperator, inner_tol: float = 1e-5,
+                        inner_maxiter: int = 200) -> Callable:
+    """Dense exact-Schur block back-substitution. O((4n^2)^3) setup — small
+    grids only, mirroring the reference's explicit S (preconditioner.py:344)."""
+    F = op.F.to_dense()
+    G = op.G.to_dense()
+    D = op.D.to_dense()
+    Finv = np.linalg.pinv(F)
+    S = (-D) @ Finv @ G
+    Fi = jnp.asarray(Finv)
+    Sj = jnp.asarray(S)
+    Gj = jnp.asarray(G)
+    Dj = jnp.asarray(D)
+
+    def s_matvec(x):
+        return Sj @ x
+
+    def apply(v):
+        vu, vp = split_uv_p(op, v)
+        u_hat = Fi @ vu
+        rhs = Dj @ u_hat + vp
+        # inner GMRES on S (reference solve.py:221 'Using GMRES here gives
+        # 2nd order convergence')
+        x_p = -krylov.gmres(s_matvec, rhs, tol=inner_tol,
+                            maxiter=inner_maxiter, restart=20).x
+        u = u_hat - Fi @ (Gj @ x_p)
+        return jnp.concatenate([u, x_p])
+
+    return apply
+
+
+# ---------------------------------------------------------------------------
+# Classical block PCs (BASELINE.json configs[0]-[1])
+# ---------------------------------------------------------------------------
+def make_block_diagonal_pc(op: MultiphaseOperator, f_inner: Callable,
+                           schur_inner: Callable) -> Callable:
+    """M = blockdiag(F~, S~): z_u = F~^-1 v_u, z_p = S~^-1 v_p."""
+
+    def apply(v):
+        vu, vp = split_uv_p(op, v)
+        return jnp.concatenate([f_inner(vu), schur_inner(vp)])
+
+    return apply
+
+
+def make_block_triangular_pc(op: MultiphaseOperator, f_inner: Callable,
+                             schur_inner: Callable) -> Callable:
+    """Block lower-triangular M = [[F, 0], [-D, S~]]:
+    z_u = F~^-1 v_u; z_p = S~^-1 (v_p + D z_u)."""
+    n = op.grid.n
+
+    def apply(v):
+        vu, vp = split_uv_p(op, v)
+        zu = f_inner(vu)
+        rp = op.D.apply(unpack_vel(op, zu))["p"].ravel() + vp
+        return jnp.concatenate([zu, schur_inner(rp)])
+
+    return apply
+
+
+# ---------------------------------------------------------------------------
+# Pressure-nullspace projection: the periodic problem has the constant-p
+# nullspace the reference fought with commented-out projections
+# (reference solve.py:260-272); provide the principled version.
+# ---------------------------------------------------------------------------
+def project_pressure_mean(op: MultiphaseOperator, v: jax.Array) -> jax.Array:
+    nu, np_ = _sizes(op)
+    vu, vp = v[:nu], v[nu:]
+    vp = vp - jnp.mean(vp)
+    return jnp.concatenate([vu, vp])
+
+
+def wrap_with_pressure_projection(op: MultiphaseOperator,
+                                  pc: Callable) -> Callable:
+    def apply(v):
+        return project_pressure_mean(op, pc(v))
+
+    return apply
