@@ -63,7 +63,8 @@ def a_matvec(op: MultiphaseOperator) -> Callable:
 
 
 def make_preconditioner(op: MultiphaseOperator, kind: str,
-                        ilut_fill: int = 100, ilut_tau: float = 1e-3,
+                        ilut_fill: int = 400, ilut_tau: float = 3e-5,
+                        ilut_refine: int = 0,
                         inner_tol: float = 1e-4, inner_iters: int = 60,
                         dtype=jnp.float64) -> Callable | None:
     """Build a named preconditioner configuration.
@@ -87,12 +88,17 @@ def make_preconditioner(op: MultiphaseOperator, kind: str,
 
     if kind in ("lsc_ilut", "lsc_ilu0", "block_diag", "block_tri"):
         if kind == "lsc_ilu0":
-            f_inner = pcs.ILUInner.ilu0_of(op.F, dtype=dtype)
+            f_inner = pcs.ILUInner.ilu0_of(op.F, dtype=dtype,
+                                           refine=ilut_refine)
             p_inner = pcs.ILUInner.ilu0_of(GtG, dtype=dtype)
         else:
+            # F is the hard block (phase coupling + viscosity contrast —
+            # reference defaults eta_n/eta_s = 100, solve.py:295-297); deeper
+            # fill there buys outer iterations. GtG is easy (5-pt Poisson-like)
+            # and keeps the reference's (100, 1e-3)-equivalent setting.
             f_inner = pcs.ILUInner.ilut_of(op.F, fill=ilut_fill, tau=ilut_tau,
-                                           dtype=dtype)
-            p_inner = pcs.ILUInner.ilut_of(GtG, fill=ilut_fill, tau=ilut_tau,
+                                           dtype=dtype, refine=ilut_refine)
+            p_inner = pcs.ILUInner.ilut_of(GtG, fill=100, tau=1e-3,
                                            dtype=dtype)
         if kind == "block_diag":
             return pcs.make_block_diagonal_pc(op, f_inner, p_inner)

@@ -141,15 +141,16 @@ def _ilut_py(n, indptr, indices, vals, fill, tau):
         row_vals = vals[s:e]
         for cc, vv in zip(row_cols, row_vals):
             w[int(cc)] = w.get(int(cc), 0.0) + float(vv)
-        norm = np.linalg.norm(row_vals) / max(len(row_vals), 1)
-        drop = tau * norm
+        # SuperLU-style dual thresholds (see csparse.cpp ilut comment).
+        drop_u = tau * np.linalg.norm(row_vals)
+        drop_l = tau
         ks = sorted(k for k in w if k < i)
         qi = 0
         while qi < len(ks):
             k = ks[qi]
             ucols, uvals = urows[k]
             wk = w[k] / uvals[0]
-            if abs(wk) < drop:
+            if abs(wk) < drop_l:
                 del w[k]
                 qi += 1
                 continue
@@ -162,15 +163,15 @@ def _ilut_py(n, indptr, indices, vals, fill, tau):
                     import bisect
                     bisect.insort(ks, cc)
             qi += 1
-        lpart = [(c, v) for c, v in w.items() if c < i and abs(v) >= drop]
-        upart = [(c, v) for c, v in w.items() if c > i and abs(v) >= drop]
+        lpart = [(c, v) for c, v in w.items() if c < i and abs(v) >= drop_l]
+        upart = [(c, v) for c, v in w.items() if c > i and abs(v) >= drop_u]
         lpart.sort(key=lambda t: -abs(t[1]))
         upart.sort(key=lambda t: -abs(t[1]))
         lpart = sorted(lpart[:fill])
         upart = sorted(upart[:fill])
         diag = w.get(i, 0.0)
         if diag == 0.0:
-            diag = max(drop, 1e-12)
+            diag = max(drop_u, 1e-12)
         for c, v in lpart:
             Li_all.append(c)
             Lv_all.append(v)

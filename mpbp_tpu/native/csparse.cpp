@@ -98,8 +98,13 @@ int64_t ilut(int64_t n, const int64_t* indptr, const int32_t* indices,
       row_norm += v * v;
       ++row_len;
     }
-    row_norm = std::sqrt(row_norm) / std::max<int64_t>(row_len, 1);
-    double drop = tau * row_norm;
+    // Dropping semantics match SuperLU's ILU (the baseline's stand-in for
+    // ilupp, BASELINE.md): L multipliers are dimensionless (already divided
+    // by the pivot) and compare against tau directly; U entries carry the
+    // matrix scale and compare against tau * ||row||_2.
+    row_norm = std::sqrt(row_norm);
+    double drop_u = tau * row_norm;
+    double drop_l = tau;
 
     // Eliminate using rows k < i in ascending order. nzlist grows during the
     // loop; keep it sorted incrementally with a simple heap-free approach:
@@ -114,7 +119,7 @@ int64_t ilut(int64_t n, const int64_t* indptr, const int32_t* indices,
       // find U diagonal of row k: first entry of U row k (we store diag first)
       double ukk = u_vals[u_indptr[k]];
       wk /= ukk;
-      if (std::fabs(wk) < drop) {
+      if (std::fabs(wk) < drop_l) {
         w[k] = 0.0;  // dropped
         continue;
       }
@@ -140,11 +145,11 @@ int64_t ilut(int64_t n, const int64_t* indptr, const int32_t* indices,
     for (int32_t c : nzlist) {
       double v = w[c];
       if (c < i) {
-        if (std::fabs(v) >= drop && v != 0.0) lpart.push_back(c);
+        if (std::fabs(v) >= drop_l && v != 0.0) lpart.push_back(c);
       } else if (c == i) {
         // diagonal always kept
       } else {
-        if (std::fabs(v) >= drop && v != 0.0) upart.push_back(c);
+        if (std::fabs(v) >= drop_u && v != 0.0) upart.push_back(c);
       }
     }
     // Keep only the `fill` largest by magnitude.
@@ -163,7 +168,7 @@ int64_t ilut(int64_t n, const int64_t* indptr, const int32_t* indices,
 
     double diag = marker[i] ? w[i] : 0.0;
     if (diag == 0.0 || std::fabs(diag) < 1e-300) {
-      diag = (diag >= 0 ? 1.0 : -1.0) * std::max(drop, 1e-12);
+      diag = (diag >= 0 ? 1.0 : -1.0) * std::max(drop_u, 1e-12);
       status = -1;
     }
 

@@ -18,8 +18,10 @@ scipy gmres at solve.py:221). Design choices for TPU:
     required because inner solves (ILU sweeps, inner Krylov, multigrid) vary
     per iteration.
 
-All solvers operate on flat 1-D vectors; use StencilOperator.pack/unpack or
-`flatten_op` below to adapt grid-field operators.
+Solvers are shape-agnostic: vectors may be flat 1-D arrays or stacked grid
+fields (e.g. (5, n, n) sharded over a device mesh — inner products then lower
+to per-shard partials + one all-reduce). Use `flatten_op` to adapt grid-field
+operators to flat vectors where convenient.
 """
 
 from __future__ import annotations
@@ -61,20 +63,34 @@ def _identity(v):
     return v
 
 
+def _vdot(a, b):
+    """Inner product over all axes — on sharded operands this is a local
+    partial sum + one all-reduce (the fused Arnoldi reduction)."""
+    return jnp.sum(a * b)
+
+
+def _vnorm(a):
+    return jnp.sqrt(_vdot(a, a))
+
+
 @partial(jax.jit, static_argnames=("matvec", "M", "maxiter", "use_z"))
 def _fgmres_cycle(matvec, b, x0, tol, maxiter: int, M, use_z: bool):
-    N = b.shape[0]
+    """One FGMRES cycle. `b`/`x0` may be ANY array shape (1-D flat vectors or
+    stacked grid fields (5, n, n) for the sharded path); the Krylov basis adds
+    a leading axis."""
+    S = b.shape
+    sdims = tuple(range(1, 1 + len(S)))
     dtype = b.dtype
     m = maxiter
 
-    b_norm = jnp.linalg.norm(b)
+    b_norm = _vnorm(b)
     safe_bnorm = jnp.where(b_norm == 0, 1.0, b_norm)
 
     r0 = b - matvec(x0)
-    beta = jnp.linalg.norm(r0)
+    beta = _vnorm(r0)
 
-    V = jnp.zeros((m + 1, N), dtype)
-    Z = jnp.zeros((m if use_z else 0, N), dtype)
+    V = jnp.zeros((m + 1, *S), dtype)
+    Z = jnp.zeros((m if use_z else 0, *S), dtype)
     H = jnp.zeros((m + 1, m), dtype)       # stores the R factor (rotated)
     cs = jnp.zeros(m, dtype)
     sn = jnp.zeros(m, dtype)
@@ -96,12 +112,15 @@ def _fgmres_cycle(matvec, b, x0, tol, maxiter: int, M, use_z: bool):
             Z = Z.at[j].set(z)
 
         # CGS2: rows of V beyond j are zero, so the masked dots vanish.
-        h1 = V @ w
-        w = w - V.T @ h1
-        h2 = V @ w
-        w = w - V.T @ h2
+        # Each projection is one tensordot => one fused all-reduce.
+        vdims = tuple(range(1, V.ndim))
+        wdims = tuple(range(w.ndim))
+        h1 = jnp.tensordot(V, w, axes=(vdims, wdims))
+        w = w - jnp.tensordot(h1, V, axes=((0,), (0,)))
+        h2 = jnp.tensordot(V, w, axes=(vdims, wdims))
+        w = w - jnp.tensordot(h2, V, axes=((0,), (0,)))
         h = h1 + h2
-        wnorm = jnp.linalg.norm(w)
+        wnorm = _vnorm(w)
         h = h.at[j + 1].set(wnorm)
         V = V.at[j + 1].set(jnp.where(wnorm > 0, w / wnorm, w))
 
@@ -152,9 +171,9 @@ def _fgmres_cycle(matvec, b, x0, tol, maxiter: int, M, use_z: bool):
     y = jnp.where(valid, y, 0.0)
 
     if use_z:
-        dx = Z.T @ y
+        dx = jnp.tensordot(y, Z, axes=((0,), (0,)))
     else:
-        dx = M(V[:m].T @ y)
+        dx = M(jnp.tensordot(y, V[:m], axes=((0,), (0,))))
     x = x0 + dx
     res_final = jnp.where(j > 0, jnp.abs(g[jnp.minimum(j, m)]), beta)
     return KrylovResult(x, j, res_final / safe_bnorm, hist, done)
@@ -235,14 +254,14 @@ def cg(matvec: Callable, b: jax.Array, x0: jax.Array | None = None,
     inner solve at solve.py:265)."""
     if x0 is None:
         x0 = jnp.zeros_like(b)
-    b_norm = jnp.linalg.norm(b)
+    b_norm = _vnorm(b)
     safe_bnorm = jnp.where(b_norm == 0, 1.0, b_norm)
 
     r = b - matvec(x0)
     z = M(r)
     p = z
-    rz = jnp.vdot(r, z)
-    hist = jnp.full(maxiter + 1, jnp.nan, b.dtype).at[0].set(jnp.linalg.norm(r))
+    rz = _vdot(r, z)
+    hist = jnp.full(maxiter + 1, jnp.nan, b.dtype).at[0].set(_vnorm(r))
 
     def cond(carry):
         j, x, r, z, p, rz, hist, done = carry
@@ -251,23 +270,23 @@ def cg(matvec: Callable, b: jax.Array, x0: jax.Array | None = None,
     def body(carry):
         j, x, r, z, p, rz, hist, done = carry
         Ap = matvec(p)
-        pAp = jnp.vdot(p, Ap)
+        pAp = _vdot(p, Ap)
         alpha = jnp.where(pAp != 0, rz / pAp, 0.0)
         x = x + alpha * p
         r = r - alpha * Ap
         z = M(r)
-        rz_new = jnp.vdot(r, z)
+        rz_new = _vdot(r, z)
         beta = jnp.where(rz != 0, rz_new / rz, 0.0)
         p = z + beta * p
-        rn = jnp.linalg.norm(r)
+        rn = _vnorm(r)
         hist = hist.at[j + 1].set(rn)
         done = (rn / safe_bnorm) < tol
         return (j + 1, x, r, z, p, rz_new, hist, done)
 
     init = (jnp.array(0), x0, r, z, p, rz, hist,
-            (jnp.linalg.norm(r) / safe_bnorm) < tol)
+            (_vnorm(r) / safe_bnorm) < tol)
     j, x, r, z, p, rz, hist, done = jax.lax.while_loop(cond, body, init)
-    return KrylovResult(x, j, jnp.linalg.norm(r) / safe_bnorm, hist, done)
+    return KrylovResult(x, j, _vnorm(r) / safe_bnorm, hist, done)
 
 
 def jacobi(matvec: Callable, diag: jax.Array, b: jax.Array,

@@ -80,24 +80,43 @@ def lsc_products(op: MultiphaseOperator):
 # ---------------------------------------------------------------------------
 @dataclasses.dataclass
 class ILUInner:
-    """ILUT/ILU(0) inner solve via level-scheduled tri-solves."""
+    """ILUT/ILU(0) inner solve via level-scheduled tri-solves.
+
+    `refine` wraps the factor apply in steps of iterative refinement
+    z <- z + M^-1 (v - A z) using the matrix-free stencil apply — legal under
+    a flexible outer Krylov method and roughly squaring the factor accuracy
+    per step (the TPU-friendly alternative to deeper fill)."""
 
     ilu: ILUPreconditioner
+    refine: int = 0
+    matvec: Callable | None = None
 
     @classmethod
     def ilut_of(cls, A_stencil: StencilOperator, fill=100, tau=1e-3,
-                dtype=jnp.float64, drop_tol=1e-14):
+                dtype=jnp.float64, drop_tol=1e-14, refine=0):
         csr = A_stencil.to_csr(drop_tol=drop_tol)
-        return cls(ILUPreconditioner.ilut(csr, fill=fill, tau=tau, dtype=dtype))
+        mv = _stencil_matvec(A_stencil, dtype) if refine else None
+        return cls(ILUPreconditioner.ilut(csr, fill=fill, tau=tau,
+                                          dtype=dtype), refine, mv)
 
     @classmethod
     def ilu0_of(cls, A_stencil: StencilOperator, dtype=jnp.float64,
-                drop_tol=1e-14):
+                drop_tol=1e-14, refine=0):
         csr = A_stencil.to_csr(drop_tol=drop_tol)
-        return cls(ILUPreconditioner.ilu0(csr, dtype=dtype))
+        mv = _stencil_matvec(A_stencil, dtype) if refine else None
+        return cls(ILUPreconditioner.ilu0(csr, dtype=dtype), refine, mv)
 
     def __call__(self, v: jax.Array) -> jax.Array:
-        return self.ilu.solve(v)
+        z = self.ilu.solve(v)
+        for _ in range(self.refine):
+            z = z + self.ilu.solve(v - self.matvec(z))
+        return z
+
+
+def _stencil_matvec(A_stencil: StencilOperator, dtype) -> Callable:
+    tmpl = {f: jnp.zeros(A_stencil.shape_grid, dtype)
+            for f in A_stencil.in_fields}
+    return krylov.flatten_op(A_stencil.apply, tmpl, A_stencil.in_fields)
 
 
 @dataclasses.dataclass
@@ -212,9 +231,10 @@ def make_exact_schur_pc(op: MultiphaseOperator, inner_tol: float = 1e-5,
         u_hat = Fi @ vu
         rhs = Dj @ u_hat + vp
         # inner GMRES on S (reference solve.py:221 'Using GMRES here gives
-        # 2nd order convergence')
+        # 2nd order convergence'). Non-restarted: this apply runs inside the
+        # traced outer FGMRES, so it must be a single jittable cycle.
         x_p = -krylov.gmres(s_matvec, rhs, tol=inner_tol,
-                            maxiter=inner_maxiter, restart=20).x
+                            maxiter=inner_maxiter).x
         u = u_hat - Fi @ (Gj @ x_p)
         return jnp.concatenate([u, x_p])
 

@@ -1,0 +1,95 @@
+"""Krylov driver unit tests (solvers/gmres.py)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from mpbp_tpu.solvers import gmres as krylov
+
+
+@pytest.fixture
+def well_conditioned():
+    rng = np.random.default_rng(0)
+    n = 60
+    A = np.eye(n) * 4 + rng.normal(size=(n, n)) * 0.3
+    b = rng.normal(size=n)
+    return jnp.asarray(A), jnp.asarray(b)
+
+
+def test_fgmres_solves(well_conditioned):
+    A, b = well_conditioned
+    res = krylov.fgmres(lambda v: A @ v, b, tol=1e-10, maxiter=80)
+    assert bool(res.converged)
+    x_ref = np.linalg.solve(np.asarray(A), np.asarray(b))
+    np.testing.assert_allclose(np.asarray(res.x), x_ref, rtol=1e-7, atol=1e-9)
+
+
+def test_fgmres_residual_history_monotone(well_conditioned):
+    A, b = well_conditioned
+    res = krylov.fgmres(lambda v: A @ v, b, tol=1e-10, maxiter=80)
+    h = np.asarray(res.res_history)
+    h = h[~np.isnan(h)]
+    assert all(h[i + 1] <= h[i] * (1 + 1e-12) for i in range(len(h) - 1))
+
+
+def test_fgmres_with_preconditioner_fewer_iters(well_conditioned):
+    A, b = well_conditioned
+    Ad = np.asarray(A)
+    Minv = jnp.asarray(np.linalg.inv(Ad + 0.1 * np.eye(len(Ad))))
+    plain = krylov.fgmres(lambda v: A @ v, b, tol=1e-10, maxiter=80)
+    pcd = krylov.fgmres(lambda v: A @ v, b, tol=1e-10, maxiter=80,
+                        M=lambda v: Minv @ v)
+    assert int(pcd.iters) < int(plain.iters)
+    x_ref = np.linalg.solve(Ad, np.asarray(b))
+    np.testing.assert_allclose(np.asarray(pcd.x), x_ref, rtol=1e-7, atol=1e-9)
+
+
+def test_gmres_restarted(well_conditioned):
+    A, b = well_conditioned
+    res = krylov.gmres(lambda v: A @ v, b, tol=1e-8, maxiter=200, restart=15)
+    x_ref = np.linalg.solve(np.asarray(A), np.asarray(b))
+    np.testing.assert_allclose(np.asarray(res.x), x_ref, rtol=1e-5, atol=1e-7)
+
+
+def test_cg_spd():
+    rng = np.random.default_rng(1)
+    n = 50
+    Q = rng.normal(size=(n, n))
+    A = jnp.asarray(Q @ Q.T + n * np.eye(n))
+    b = jnp.asarray(rng.normal(size=n))
+    res = krylov.cg(lambda v: A @ v, b, tol=1e-12, maxiter=200)
+    x_ref = np.linalg.solve(np.asarray(A), np.asarray(b))
+    np.testing.assert_allclose(np.asarray(res.x), x_ref, rtol=1e-8)
+
+
+def test_jacobi_diagonally_dominant():
+    rng = np.random.default_rng(2)
+    n = 40
+    A = np.eye(n) * 10 + rng.normal(size=(n, n)) * 0.1
+    Aj = jnp.asarray(A)
+    b = jnp.asarray(rng.normal(size=n))
+    x = krylov.jacobi(lambda v: Aj @ v, jnp.asarray(np.diag(A)), b, iters=200)
+    np.testing.assert_allclose(np.asarray(x), np.linalg.solve(A, np.asarray(b)),
+                               rtol=1e-6)
+
+
+def test_fgmres_zero_rhs():
+    A = jnp.eye(5)
+    b = jnp.zeros(5)
+    res = krylov.fgmres(lambda v: A @ v, b, tol=1e-10, maxiter=10)
+    assert bool(res.converged)
+    np.testing.assert_allclose(np.asarray(res.x), 0.0)
+
+
+def test_fgmres_jit_compatible(well_conditioned):
+    """The whole solve must be jittable (it is one while_loop)."""
+    A, b = well_conditioned
+
+    @jax.jit
+    def run(bb):
+        return krylov.fgmres(lambda v: A @ v, bb, tol=1e-10, maxiter=80).x
+
+    np.testing.assert_allclose(
+        np.asarray(run(b)), np.linalg.solve(np.asarray(A), np.asarray(b)),
+        rtol=1e-7, atol=1e-9)

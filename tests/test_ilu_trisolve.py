@@ -1,0 +1,149 @@
+"""ILU factorization + level-scheduled triangular solve tests."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from mpbp_tpu import native
+from mpbp_tpu.ops.ilu import ILUPreconditioner
+from mpbp_tpu.ops.sparse import CSRMatrix
+from mpbp_tpu.ops.trisolve import LevelTriSolve
+
+
+def random_spdish(n, seed=0, density=0.08):
+    rng = np.random.default_rng(seed)
+    A = np.diag(rng.uniform(3, 5, n))
+    k = int(n * n * density)
+    i, j = rng.integers(0, n, k), rng.integers(0, n, k)
+    A[i, j] += rng.normal(size=k) * 0.3
+    return A
+
+
+def to_csr(A, tol=0.0):
+    rows, cols = np.nonzero(np.abs(A) > tol)
+    return CSRMatrix.from_coo(*A.shape, rows, cols, A[rows, cols])
+
+
+def test_level_schedule_lower():
+    # chain 0 <- 1 <- 2: levels 0,1,2
+    indptr = np.array([0, 0, 1, 2])
+    indices = np.array([0, 1], dtype=np.int32)
+    levels, nlev = native.level_schedule(indptr, indices, is_upper=False)
+    assert list(levels) == [0, 1, 2]
+    assert nlev == 3
+
+
+def test_level_schedule_diagonal_only():
+    indptr = np.zeros(6, np.int64)
+    levels, nlev = native.level_schedule(indptr, np.array([], np.int32), False)
+    assert nlev == 1
+    assert list(levels) == [0] * 5
+
+
+def test_level_trisolve_matches_sequential_lower():
+    rng = np.random.default_rng(3)
+    n = 40
+    L = np.tril(rng.normal(size=(n, n)), -1) * 0.2
+    mask = rng.random((n, n)) < 0.8
+    L[mask] = 0.0
+    b = rng.normal(size=n)
+    # strict lower + unit diag
+    rows, cols = np.nonzero(L)
+    indptr = np.zeros(n + 1, np.int64)
+    np.add.at(indptr, rows + 1, 1)
+    indptr = np.cumsum(indptr)
+    order = np.lexsort((cols, rows))
+    plan = LevelTriSolve.from_csr(indptr, cols[order], L[rows, cols][order],
+                                  is_upper=False)
+    x = np.asarray(plan.solve(jnp.asarray(b)))
+    x_ref = np.linalg.solve(L + np.eye(n), b)
+    np.testing.assert_allclose(x, x_ref, rtol=1e-10, atol=1e-12)
+
+
+def test_level_trisolve_upper_with_diag():
+    rng = np.random.default_rng(4)
+    n = 35
+    U = np.triu(rng.normal(size=(n, n)), 1) * 0.2
+    mask = rng.random((n, n)) < 0.8
+    U[mask] = 0.0
+    diag = rng.uniform(1, 2, n)
+    rows, cols = np.nonzero(U)
+    indptr = np.zeros(n + 1, np.int64)
+    np.add.at(indptr, rows + 1, 1)
+    indptr = np.cumsum(indptr)
+    order = np.lexsort((cols, rows))
+    plan = LevelTriSolve.from_csr(indptr, cols[order], U[rows, cols][order],
+                                  is_upper=True, diag_vals=diag)
+    b = rng.normal(size=n)
+    x = np.asarray(plan.solve(jnp.asarray(b)))
+    x_ref = np.linalg.solve(U + np.diag(diag), b)
+    np.testing.assert_allclose(x, x_ref, rtol=1e-10, atol=1e-12)
+
+
+def test_ilut_exact_with_no_dropping():
+    A = random_spdish(60, seed=5)
+    csr = to_csr(A)
+    ilu = ILUPreconditioner.ilut(csr, fill=1000, tau=0.0)
+    rng = np.random.default_rng(6)
+    b = rng.normal(size=60)
+    x = np.asarray(ilu.solve(jnp.asarray(b)))
+    np.testing.assert_allclose(x, np.linalg.solve(A, b), rtol=1e-9, atol=1e-11)
+
+
+def test_ilut_preconditions_gmres():
+    from mpbp_tpu.solvers import gmres as krylov
+    A = random_spdish(80, seed=7, density=0.15)
+    csr = to_csr(A)
+    ilu = ILUPreconditioner.ilut(csr, fill=10, tau=1e-2)
+    Aj = jnp.asarray(A)
+    b = jnp.asarray(np.random.default_rng(8).normal(size=80))
+    plain = krylov.fgmres(lambda v: Aj @ v, b, tol=1e-10, maxiter=80)
+    pcd = krylov.fgmres(lambda v: Aj @ v, b, tol=1e-10, maxiter=80,
+                        M=ilu.solve)
+    assert int(pcd.iters) < int(plain.iters)
+    np.testing.assert_allclose(np.asarray(pcd.x),
+                               np.linalg.solve(A, np.asarray(b)),
+                               rtol=1e-6, atol=1e-8)
+
+
+def test_ilu0_pattern_only():
+    A = random_spdish(50, seed=9)
+    csr = to_csr(A)
+    ilu = ILUPreconditioner.ilu0(csr)
+    # ILU(0) of a dense-pattern... here sparse pattern: check apply is a
+    # contraction toward the true solve on a diagonally dominant matrix.
+    rng = np.random.default_rng(10)
+    b = rng.normal(size=50)
+    x = np.asarray(ilu.solve(jnp.asarray(b)))
+    x_ref = np.linalg.solve(A, b)
+    rel = np.linalg.norm(A @ x - b) / np.linalg.norm(b)
+    assert rel < 0.2, rel
+
+
+def test_native_vs_python_ilut_agree():
+    """The C++ and pure-python ILUT fallbacks produce identical factors."""
+    if not native.have_native():
+        pytest.skip("no native lib")
+    A = random_spdish(30, seed=11)
+    csr = to_csr(A)
+    ip, ix, v = csr.host_arrays()
+    nat = native.ilut(ip, ix, v, fill=8, tau=1e-2)
+    py = native._ilut_py(30, ip, ix, v, 8, 1e-2)
+    for (a, b_) in zip(nat, py):
+        np.testing.assert_array_equal(a[0], b_[0])
+        np.testing.assert_array_equal(a[1], b_[1])
+        np.testing.assert_allclose(a[2], b_[2], rtol=1e-13)
+
+
+def test_spgemm_native_matches_dense():
+    if not native.have_native():
+        pytest.skip("no native lib")
+    rng = np.random.default_rng(12)
+    A = random_spdish(25, seed=12)
+    B = random_spdish(25, seed=13)
+    ca, cb = to_csr(A), to_csr(B)
+    rows, cols, vals = native.spgemm(25, *ca.host_arrays(), *cb.host_arrays())
+    C = np.zeros((25, 25))
+    C[rows, cols] = vals
+    np.testing.assert_allclose(C, A @ B, rtol=1e-12, atol=1e-12)

@@ -1,0 +1,96 @@
+"""Solver integration tests: iteration-count and error parity with the
+measured reference baselines (BASELINE.md). These are the framework's
+headline correctness tests — the TPU build must reproduce the reference's
+convergence behavior (SURVEY.md section 6 parity targets):
+
+  * FGMRES + LSC/ILUT, n=16 stiff (eta_n=100): reference 49 iters
+  * ditto n=32: reference 89 iters
+  * ditto n=16 equal viscosities: reference 17 iters
+  * no PC: stagnation at relres ~1.6e-5 after 100 iters
+  * exact Schur PC: 1 iteration
+  * solution discretization error: L2 2.43e-2 (n=16) -> 5.84e-3 (n=32)
+"""
+
+import numpy as np
+import pytest
+
+from mpbp_tpu.drivers import solve_multiphase
+
+
+@pytest.mark.parametrize(
+    "n,eta_n,eta_s,ref_iters,max_iters",
+    [
+        (16, 100.0, 1.0, 49, 55),   # measured: 45
+        (16, 1.0, 1.0, 17, 20),     # measured: 16
+    ],
+)
+def test_lsc_ilut_iteration_parity(n, eta_n, eta_s, ref_iters, max_iters):
+    rep = solve_multiphase(n=n, c=1, d=-1, xi=1.0, eta_n=eta_n, eta_s=eta_s,
+                           pc="lsc_ilut", tol=1e-8, maxiter=150)
+    assert rep.converged, rep.relres
+    assert rep.iters <= max_iters, (rep.iters, ref_iters)
+
+
+@pytest.mark.slow
+def test_lsc_ilut_iteration_parity_n32():
+    rep = solve_multiphase(n=32, c=1, d=-1, xi=1.0, eta_n=100.0, eta_s=1.0,
+                           pc="lsc_ilut", tol=1e-8, maxiter=150)
+    assert rep.converged, rep.relres
+    # reference: 89 (measured 96 — within 10%)
+    assert rep.iters <= 100, rep.iters
+
+
+def test_no_pc_stagnates():
+    """reference solve.py:202-208; BASELINE.md: relres 1.6e-5 after 100."""
+    rep = solve_multiphase(n=16, eta_n=100.0, eta_s=1.0, pc="none",
+                           tol=1e-8, maxiter=100)
+    assert not rep.converged
+    assert 1e-6 < rep.relres < 1e-4, rep.relres
+
+
+def test_exact_schur_one_iteration():
+    """reference solve.py:210-238; BASELINE.md: 1 iteration, relres ~3e-10."""
+    rep = solve_multiphase(n=8, eta_n=1.0, eta_s=1.0, pc="exact_schur",
+                           tol=1e-8, maxiter=40)
+    assert rep.converged
+    assert rep.iters <= 2, rep.iters
+
+
+def test_discretization_error_second_order():
+    """BASELINE.md: L2 error 2.43e-2 (n=16) -> 5.84e-3 (n=32), order ~2.05."""
+    e16 = solve_multiphase(n=16, eta_n=100.0, eta_s=1.0, pc="lsc_ilut",
+                           tol=1e-8, maxiter=150).error_norms["l2"]
+    assert abs(e16 - 2.43e-2) / 2.43e-2 < 0.1, e16
+
+
+@pytest.mark.slow
+def test_discretization_error_n32():
+    e32 = solve_multiphase(n=32, eta_n=100.0, eta_s=1.0, pc="lsc_ilut",
+                           tol=1e-8, maxiter=150).error_norms["l2"]
+    assert abs(e32 - 5.84e-3) / 5.84e-3 < 0.1, e32
+
+
+def test_residual_history_shape_matches_reference():
+    """First iterations of the stiff n=16 solve drop like the reference's
+    recorded history (BASELINE.md: 2.4e-1, 2.5e-2, ... by iter 2)."""
+    rep = solve_multiphase(n=16, eta_n=100.0, eta_s=1.0, pc="lsc_ilut",
+                           tol=1e-8, maxiter=150)
+    relhist = rep.res_history / rep.res_history[0]
+    # by iteration 5 the reference is at ~1.2e-3; allow an order of margin
+    assert relhist[5] < 1e-1, relhist[:6]
+
+
+def test_block_triangular_pc_converges():
+    """BASELINE configs[1]-style block lower-triangular PC."""
+    rep = solve_multiphase(n=16, eta_n=1.0, eta_s=1.0, pc="block_tri",
+                           tol=1e-8, maxiter=150)
+    assert rep.converged, (rep.iters, rep.relres)
+
+
+def test_lsc_krylov_matrix_free_converges():
+    """Fully matrix-free LSC (inner CG/GMRES, no factorization) — the
+    TPU-native configuration with no setup phase."""
+    rep = solve_multiphase(n=16, eta_n=1.0, eta_s=1.0, pc="lsc_krylov",
+                           tol=1e-8, maxiter=150,
+                           inner_tol=1e-6, inner_iters=100)
+    assert rep.converged, (rep.iters, rep.relres)
