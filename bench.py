@@ -1,0 +1,119 @@
+"""Benchmark: SpMV (multiphase operator apply) throughput on the 512^2 grid.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+
+The metric is the BASELINE.json north star: sustained nnz/s of the sparse
+saddle-point operator apply (the body of every Krylov iteration) on the
+512^2 multiphase Stokes system, on one chip. nnz is the count of stored
+stencil coefficients (identical to the CSR nonzero count modulo exact-zero
+cancellations, BASELINE.md sparsity row). vs_baseline is the speedup over
+the same operator applied through a SciPy CSR SpMV on the container CPU —
+the reference's execution model (dense numpy in the reference proper;
+scipy.sparse is the strongest CPU stand-in).
+
+Extra diagnostics go to stderr; stdout carries only the JSON line.
+"""
+
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+
+def log(*a):
+    print(*a, file=sys.stderr, flush=True)
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    # First TPU compile goes through the remote-compile relay (~minutes);
+    # cache compiled executables across bench runs.
+    cache_dir = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                             ".jax_cache_tpu")
+    jax.config.update("jax_compilation_cache_dir", cache_dir)
+    jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0)
+
+    n = int(os.environ.get("BENCH_N", "512"))
+    dtype = jnp.float32
+
+    from mpbp_tpu.models.multiphase import make_multiphase_operator
+    from mpbp_tpu.parallel.sharding import stacked_matvec
+
+    dev = jax.devices()[0]
+    log(f"bench: device={dev}, n={n}, dtype={dtype.__name__}")
+
+    t0 = time.time()
+    op = make_multiphase_operator(n, c=1.0, d=-1.0, xi=1.0, eta_n=100.0,
+                                  eta_s=1.0, dtype=dtype)
+    # stored stencil coefficients = nnz of the ELL/CSR export
+    nnz = sum(len(offmap) for offmap in op.A.terms.values()) * n * n
+    log(f"assembly: {time.time()-t0:.2f}s, nnz={nnz/1e6:.2f}M")
+
+    mv = jax.jit(stacked_matvec(op.A))
+    v = jnp.ones((5, n, n), dtype)
+
+    t0 = time.time()
+    w = mv(v)
+    jax.block_until_ready(w)
+    log(f"compile+first apply: {time.time()-t0:.2f}s")
+
+    # steady-state timing: chain applies to avoid host round-trips
+    @jax.jit
+    def chain(v, k):
+        def body(_, x):
+            return mv(x) * (1.0 / jnp.float32(n))  # keep values bounded
+        return jax.lax.fori_loop(0, k, body, v)
+
+    k = 50
+    chain(v, k).block_until_ready()  # warm
+    reps = 5
+    t0 = time.time()
+    for _ in range(reps):
+        w = chain(v, k)
+    jax.block_until_ready(w)
+    dt = (time.time() - t0) / (reps * k)
+    nnz_s = nnz / dt
+    log(f"device apply: {dt*1e6:.1f} us -> {nnz_s/1e9:.2f} Gnnz/s")
+
+    # roofline context: bytes moved >= (5 n^2 read + 5 n^2 write + coefs)
+    bytes_min = (2 * 5 * n * n + nnz) * np.dtype(np.float32).itemsize
+    log(f"min HBM traffic {bytes_min/1e6:.1f} MB -> implied BW "
+        f"{bytes_min/dt/1e9:.0f} GB/s")
+
+    # CPU scipy baseline on the same operator
+    try:
+        import scipy.sparse as sp
+
+        csr = op.A.to_csr()
+        ip, ix, vals = csr.host_arrays()
+        S = sp.csr_matrix((vals, ix, ip), shape=csr.shape)
+        x = np.ones(csr.shape[1], np.float32)
+        S = S.astype(np.float32)
+        S @ x
+        reps = max(1, int(2e8 // max(S.nnz, 1)))
+        t0 = time.time()
+        for _ in range(reps):
+            y = S @ x
+        cpu_dt = (time.time() - t0) / reps
+        cpu_nnz_s = S.nnz / cpu_dt
+        log(f"scipy CSR SpMV: {cpu_dt*1e3:.2f} ms -> {cpu_nnz_s/1e9:.3f} Gnnz/s")
+        vs = nnz_s / cpu_nnz_s
+    except Exception as e:  # pragma: no cover
+        log("cpu baseline failed:", e)
+        vs = float("nan")
+
+    print(json.dumps({
+        "metric": "spmv_nnz_per_s_512sq_multiphase",
+        "value": round(nnz_s / 1e9, 3),
+        "unit": "Gnnz/s",
+        "vs_baseline": round(vs, 2),
+    }))
+
+
+if __name__ == "__main__":
+    main()

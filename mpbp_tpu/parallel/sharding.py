@@ -1,0 +1,116 @@
+"""Device-mesh sharding of grid states and stencil operators.
+
+The reference has zero parallelism (SURVEY.md section 2.4); its scaling
+ceiling is a dense matrix in one process. Here the domain-decomposition
+layout is first-class:
+
+  * grid fields (n, n) are row-partitioned over a 1-D mesh axis 'x'
+    (P('x', None)) — each chip owns a contiguous band of grid rows;
+  * solver vectors are the *stacked* form (n_fields, n, n) sharded
+    P(None, 'x', None) so a field never straddles devices and inner
+    products reduce with a single psum;
+  * stencil coefficient arrays shard exactly like the fields, so the
+    matrix-free apply is local except for the +-H halo rows, which XLA
+    lowers to neighbor `collective-permute`s over ICI (from `jnp.roll`
+    under auto-SPMD) — or are exchanged explicitly by the `shard_map`
+    path in mpbp_tpu/parallel/halo.py.
+
+Multi-host: the same mesh spans hosts (jax.distributed); the row partition
+puts nearest-neighbor halos on ICI within a slice and only the Arnoldi
+all-reduces cross DCN.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Callable, Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from mpbp_tpu.models.multiphase import ALL_FIELDS, MultiphaseOperator
+from mpbp_tpu.ops.stencil import StencilOperator
+
+
+def make_mesh(n_devices: int | None = None, axis: str = "x") -> Mesh:
+    devs = jax.devices()
+    n = n_devices or len(devs)
+    return Mesh(np.array(devs[:n]), axis_names=(axis,))
+
+
+def stack_state(state: dict, fields: Sequence[str] = ALL_FIELDS) -> jax.Array:
+    """Field dict -> stacked (n_fields, n, n) array (the sharded vector form)."""
+    return jnp.stack([state[f] for f in fields])
+
+
+def unstack_state(v: jax.Array, fields: Sequence[str] = ALL_FIELDS) -> dict:
+    return {f: v[i] for i, f in enumerate(fields)}
+
+
+def vector_sharding(mesh: Mesh, axis: str = "x") -> NamedSharding:
+    """Sharding for stacked vectors (n_fields, n, n): rows over the mesh."""
+    return NamedSharding(mesh, P(None, axis, None))
+
+
+def field_sharding(mesh: Mesh, axis: str = "x") -> NamedSharding:
+    """Sharding for a single (n, n) grid array."""
+    return NamedSharding(mesh, P(axis, None))
+
+
+def shard_operator(op: StencilOperator, mesh: Mesh,
+                   axis: str = "x") -> StencilOperator:
+    """Place every stencil coefficient array with the row partition."""
+    sh = field_sharding(mesh, axis)
+    return jax.tree_util.tree_map(lambda a: jax.device_put(a, sh), op)
+
+
+def shard_multiphase(mop: MultiphaseOperator, mesh: Mesh,
+                     axis: str = "x") -> MultiphaseOperator:
+    """Shard all block operators of an assembled multiphase system."""
+    import dataclasses as dc
+
+    repl = {}
+    for f in ("A", "F", "G", "D", "minus_D", "Ln", "Ls", "XIn", "XIs"):
+        repl[f] = shard_operator(getattr(mop, f), mesh, axis)
+    return dc.replace(mop, **repl)
+
+
+def stacked_matvec(op: StencilOperator,
+                   in_fields: Sequence[str] | None = None,
+                   out_fields: Sequence[str] | None = None) -> Callable:
+    """Matrix-free matvec on stacked (n_fields, n, n) vectors. Under a sharded
+    mesh the rolls become ICI collective-permutes; everything else is local.
+    Handles rectangular blocks (e.g. D: velocities -> p)."""
+    in_fields = tuple(in_fields) if in_fields is not None else op.in_fields
+    out_fields = tuple(out_fields) if out_fields is not None else op.out_fields
+
+    def mv(v):
+        y = op.apply(unstack_state(v, in_fields))
+        return jnp.stack([y[f] for f in out_fields])
+
+    return mv
+
+
+def sharded_solve(mop: MultiphaseOperator, b_state: dict, mesh: Mesh,
+                  tol: float = 1e-8, maxiter: int = 100,
+                  pc: Callable | None = None, axis: str = "x"):
+    """FGMRES on the row-sharded multiphase system.
+
+    The returned work runs fully SPMD: stencil applies exchange halos over
+    ICI, Arnoldi projections are fused all-reduces, and the Hessenberg/Givens
+    scalar work is replicated (it is O(m^2), negligible).
+    """
+    from mpbp_tpu.solvers import gmres as krylov
+
+    sop = shard_multiphase(mop, mesh, axis)
+    vsh = vector_sharding(mesh, axis)
+    b = jax.device_put(stack_state(b_state), vsh)
+    mv = stacked_matvec(sop.A)
+
+    @partial(jax.jit, out_shardings=None)
+    def run(bv):
+        return krylov.fgmres(mv, bv, tol=tol, maxiter=maxiter, M=pc)
+
+    return run(b)

@@ -1,0 +1,111 @@
+"""Multi-device sharding tests on the 8-device virtual CPU mesh
+(SURVEY.md section 4: distribution is testable without a pod)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+from jax.sharding import NamedSharding, PartitionSpec as P
+
+from mpbp_tpu.models import mms
+from mpbp_tpu.models.multiphase import ALL_FIELDS, make_multiphase_operator
+from mpbp_tpu.parallel import halo as halo_mod
+from mpbp_tpu.parallel import sharding as sh
+from mpbp_tpu.solvers import gmres as krylov
+
+
+@pytest.fixture(scope="module")
+def problem16():
+    op = make_multiphase_operator(16, c=1, d=-1, xi=1.0, eta_n=1.0, eta_s=1.0)
+    prob = mms.variable_thn_problem(1, -1, 1.0, 1.0, 1.0)
+    u, b = mms.fill_sol_and_rhs(op.grid, prob)
+    return op, u, b
+
+
+def test_mesh_has_8_devices(mesh8):
+    assert mesh8.devices.size == 8
+
+
+def test_auto_spmd_matvec_matches_unsharded(problem16, mesh8):
+    op, u, b = problem16
+    mv = sh.stacked_matvec(op.A)
+    v = sh.stack_state(u)
+    expect = np.asarray(mv(v))
+
+    sop = sh.shard_multiphase(op, mesh8)
+    vsh = jax.device_put(v, sh.vector_sharding(mesh8))
+    got = jax.jit(sh.stacked_matvec(sop.A))(vsh)
+    np.testing.assert_allclose(np.asarray(got), expect, rtol=1e-12, atol=1e-12)
+    # result is actually sharded over the mesh
+    assert len(got.sharding.device_set) == 8
+
+
+def test_halo_apply_matches_roll_apply(problem16, mesh8):
+    op, u, b = problem16
+    expect = op.A.apply(u)
+    with jax.set_mesh(mesh8) if hasattr(jax, "set_mesh") else _null():
+        apply = halo_mod.halo_stencil_apply(op.A, mesh8)
+        got = apply(u)
+    for f in ALL_FIELDS:
+        np.testing.assert_allclose(np.asarray(got[f]), np.asarray(expect[f]),
+                                   rtol=1e-12, atol=1e-12)
+
+
+class _null:
+    def __enter__(self):
+        return self
+
+    def __exit__(self, *a):
+        return False
+
+
+def test_halo_apply_composed_operator(mesh8):
+    """GtFG has |dr| up to 3 — exercises multi-row halos."""
+    from mpbp_tpu.solvers.preconditioners import lsc_products
+    op = make_multiphase_operator(16)
+    GtG, GtFG = lsc_products(op)
+    assert halo_mod.halo_width(GtFG) >= 2
+    rng = np.random.default_rng(0)
+    x = {"p": jnp.asarray(rng.normal(size=(16, 16)))}
+    expect = GtFG.apply(x)["p"]
+    got = halo_mod.halo_stencil_apply(GtFG, mesh8)(x)["p"]
+    np.testing.assert_allclose(np.asarray(got), np.asarray(expect),
+                               rtol=1e-12, atol=1e-12)
+
+
+def test_sharded_fgmres_matches_unsharded(problem16, mesh8):
+    op, u, b = problem16
+    res = sh.sharded_solve(op, b, mesh8, tol=1e-8, maxiter=60)
+    # unsharded reference
+    mv = sh.stacked_matvec(op.A)
+    ref = krylov.fgmres(mv, sh.stack_state(b), tol=1e-8, maxiter=60)
+    assert int(res.iters) == int(ref.iters)
+    np.testing.assert_allclose(np.asarray(res.x), np.asarray(ref.x),
+                               rtol=1e-9, atol=1e-10)
+
+
+def test_sharded_solve_converges_with_matrix_free_pc(problem16, mesh8):
+    """Sharded FGMRES + sharded matrix-free LSC preconditioner: the full
+    multi-chip configuration (BASELINE configs[3] analog, CPU-simulated)."""
+    op, u, b = problem16
+    sop = sh.shard_multiphase(op, mesh8)
+    from mpbp_tpu.solvers.preconditioners import lsc_products
+    GtG, GtFG = lsc_products(sop)
+
+    f_mv = sh.stacked_matvec(sop.F, sop.F.in_fields)
+    g_mv = sh.stacked_matvec(GtG, ("p",))
+    gtfg_mv = sh.stacked_matvec(GtFG, ("p",))
+
+    def pc(v):  # v: (5, n, n) stacked
+        vu, vp = v[:4], v[4:]
+        u_hat = krylov.gmres(f_mv, vu, tol=1e-6, maxiter=80).x
+        rp = sh.stacked_matvec(sop.D, sop.D.in_fields)(u_hat) + vp
+        x_a = krylov.cg(g_mv, rp, tol=1e-6, maxiter=80).x
+        x_b = gtfg_mv(x_a)
+        x_p = krylov.cg(g_mv, x_b, tol=1e-6, maxiter=80).x
+        gxp = sh.stacked_matvec(sop.G, ("p",))(x_p)
+        return jnp.concatenate([u_hat - krylov.gmres(f_mv, gxp, tol=1e-6,
+                                                     maxiter=80).x, x_p])
+
+    res = sh.sharded_solve(sop, b, mesh8, tol=1e-8, maxiter=100, pc=pc)
+    assert bool(res.converged), float(res.relres)
