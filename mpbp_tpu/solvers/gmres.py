@@ -113,6 +113,7 @@ def _fgmres_cycle(matvec, b, x0, tol, maxiter: int, M, use_z: bool):
 
         # CGS2: rows of V beyond j are zero, so the masked dots vanish.
         # Each projection is one tensordot => one fused all-reduce.
+        wnorm_pre = _vnorm(w)
         vdims = tuple(range(1, V.ndim))
         wdims = tuple(range(w.ndim))
         h1 = jnp.tensordot(V, w, axes=(vdims, wdims))
@@ -121,8 +122,16 @@ def _fgmres_cycle(matvec, b, x0, tol, maxiter: int, M, use_z: bool):
         w = w - jnp.tensordot(h2, V, axes=((0,), (0,)))
         h = h1 + h2
         wnorm = _vnorm(w)
-        h = h.at[j + 1].set(wnorm)
-        V = V.at[j + 1].set(jnp.where(wnorm > 0, w / wnorm, w))
+        # Happy breakdown: A z landed (numerically) inside the current Krylov
+        # space. Normalizing the O(eps) remainder would inject a garbage
+        # basis vector and silently decouple the residual recurrence from the
+        # true residual (seen on singular Schur complements) — instead the
+        # column ends here and the solve stops after this update.
+        breakdown = wnorm <= 1e-12 * wnorm_pre
+        h = h.at[j + 1].set(jnp.where(breakdown, 0.0, wnorm))
+        V = V.at[j + 1].set(
+            jnp.where(breakdown, jnp.zeros_like(w), w / jnp.where(
+                wnorm > 0, wnorm, 1.0)))
 
         # Apply existing Givens rotations to the new column.
         def rot_body(i, hv):
@@ -150,9 +159,7 @@ def _fgmres_cycle(matvec, b, x0, tol, maxiter: int, M, use_z: bool):
         res = jnp.abs(g_jp1)
         hist = hist.at[j + 1].set(res)
 
-        done = (res / safe_bnorm) < tol
-        # Lucky breakdown: exact solution found.
-        done = done | (wnorm == 0)
+        done = ((res / safe_bnorm) < tol) | breakdown
         return (j + 1, V, Z, H, cs, sn, g, hist, done)
 
     init = (jnp.array(0), V, Z, H, cs, sn, g, hist,

@@ -210,9 +210,17 @@ def make_lsc_pc(op: MultiphaseOperator,
 # Exact Schur-complement preconditioner (reference solve.py:210-238)
 # ---------------------------------------------------------------------------
 def make_exact_schur_pc(op: MultiphaseOperator, inner_tol: float = 1e-5,
-                        inner_maxiter: int = 200) -> Callable:
+                        inner_maxiter: int = 200,
+                        project_nullspace: bool = True) -> Callable:
     """Dense exact-Schur block back-substitution. O((4n^2)^3) setup — small
-    grids only, mirroring the reference's explicit S (preconditioner.py:344)."""
+    grids only, mirroring the reference's explicit S (preconditioner.py:344).
+
+    `project_nullspace` removes the constant-pressure component from the
+    inner Schur rhs and solution. S = G^T F^-1 G is singular on the periodic
+    domain (constants); without the projection the inner GMRES residual
+    recurrence diverges from the true residual on inconsistent rhs — the
+    problem the reference's commented-out projections chased
+    (reference solve.py:260-272)."""
     F = op.F.to_dense()
     G = op.G.to_dense()
     D = op.D.to_dense()
@@ -230,11 +238,15 @@ def make_exact_schur_pc(op: MultiphaseOperator, inner_tol: float = 1e-5,
         vu, vp = split_uv_p(op, v)
         u_hat = Fi @ vu
         rhs = Dj @ u_hat + vp
+        if project_nullspace:
+            rhs = rhs - jnp.mean(rhs)
         # inner GMRES on S (reference solve.py:221 'Using GMRES here gives
         # 2nd order convergence'). Non-restarted: this apply runs inside the
         # traced outer FGMRES, so it must be a single jittable cycle.
         x_p = -krylov.gmres(s_matvec, rhs, tol=inner_tol,
                             maxiter=inner_maxiter).x
+        if project_nullspace:
+            x_p = x_p - jnp.mean(x_p)
         u = u_hat - Fi @ (Gj @ x_p)
         return jnp.concatenate([u, x_p])
 
