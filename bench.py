@@ -41,8 +41,8 @@ def main():
     n = int(os.environ.get("BENCH_N", "512"))
     dtype = jnp.float32
 
+    from mpbp_tpu.models.fused import make_fused_apply
     from mpbp_tpu.models.multiphase import make_multiphase_operator
-    from mpbp_tpu.parallel.sharding import stacked_matvec
 
     dev = jax.devices()[0]
     log(f"bench: device={dev}, n={n}, dtype={dtype.__name__}")
@@ -54,7 +54,9 @@ def main():
     nnz = sum(len(offmap) for offmap in op.A.terms.values()) * n * n
     log(f"assembly: {time.time()-t0:.2f}s, nnz={nnz/1e6:.2f}M")
 
-    mv = jax.jit(stacked_matvec(op.A))
+    # production matvec: fused apply recomputing theta-derived coefficients
+    # (numerically identical to the stencil apply — tests/test_fused.py)
+    mv = jax.jit(make_fused_apply(op))
     v = jnp.ones((5, n, n), dtype)
 
     t0 = time.time()

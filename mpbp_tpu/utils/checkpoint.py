@@ -1,0 +1,101 @@
+"""Checkpoint / resume (SURVEY.md section 5.4).
+
+The reference has no persistence beyond a CSV matrix dump
+(reference utils.py:28-40). Here: save/restore of assembled operators
+(theta planes + params — cheap to re-derive the stencils from) and of
+Krylov solver state (current iterate + residual history) so long solves
+can resume after preemption. Format: npz (portable, no extra deps); the
+arrays are host-materialized on save and re-placed on load.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import json
+from typing import Any
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def save_operator(path: str, op) -> None:
+    """Persist a MultiphaseOperator (theta planes + params)."""
+    np.savez_compressed(
+        path,
+        kind=np.array("multiphase_operator"),
+        params=np.array(json.dumps(op.params)),
+        thn_cell=np.asarray(op.phase_n.cell),
+        thn_xpt=np.asarray(op.phase_n.xface_pt),
+        thn_ypt=np.asarray(op.phase_n.yface_pt),
+    )
+
+
+def load_operator(path: str, dtype=jnp.float64):
+    """Rebuild the operator from saved theta planes. The stencil coefficients
+    are re-derived (they are pure functions of theta — models/multiphase.py),
+    so checkpoints stay small: 3 planes + params."""
+    from mpbp_tpu.models.multiphase import make_multiphase_operator
+
+    z = np.load(path, allow_pickle=False)
+    assert str(z["kind"]) == "multiphase_operator", str(z["kind"])
+    params = json.loads(str(z["params"]))
+    thn_cell = jnp.asarray(z["thn_cell"], dtype)
+    n = int(params.pop("n"))
+
+    # reconstruct with a tabulated theta: cell plane is exact; the pointwise
+    # face planes are restored verbatim below.
+    op = make_multiphase_operator(n, dtype=dtype, **params)
+    op = _replace_theta(op, thn_cell,
+                        jnp.asarray(z["thn_xpt"], dtype),
+                        jnp.asarray(z["thn_ypt"], dtype), dtype)
+    return op
+
+
+def _replace_theta(op, cell, xpt, ypt, dtype):
+    """Rebuild all blocks from explicit theta planes (used by load; also the
+    hook for data-driven theta fields that have no closed form)."""
+    from mpbp_tpu.models.multiphase import make_multiphase_operator
+
+    n = op.grid.n
+    planes = {"cell": cell, "x": xpt, "y": ypt}
+
+    def thn_tab(y, x):
+        # Evaluated only on the three staggered coordinate sets produced by
+        # MACGrid; dispatch on the y-coordinate pattern.
+        yy = np.asarray(y)
+        if yy.shape == (n, n):
+            frac = float(np.round((-yy[0, 0]) * n, 6)) % 1.0
+            xx = np.asarray(x)
+            xfrac = float(np.round(xx[0, 0] * n, 6)) % 1.0
+            if xfrac == 0.5 and frac == 0.5:
+                return planes["cell"]
+            if xfrac == 0.0:
+                return planes["x"]
+            return planes["y"]
+        raise ValueError("tabulated theta supports grid evaluation only")
+
+    return make_multiphase_operator(n, thn_fn=thn_tab, dtype=dtype,
+                                    **{k: v for k, v in op.params.items()
+                                       if k != "n"})
+
+
+def save_krylov_state(path: str, x, res_history, iters: int,
+                      meta: dict | None = None) -> None:
+    """Persist solver state for restart (SURVEY.md 5.3: checkpoint Arnoldi
+    state for restart — the iterate is the restartable quantity)."""
+    np.savez_compressed(
+        path,
+        kind=np.array("krylov_state"),
+        x=np.asarray(x),
+        res_history=np.asarray(res_history),
+        iters=np.array(iters),
+        meta=np.array(json.dumps(meta or {})),
+    )
+
+
+def load_krylov_state(path: str):
+    z = np.load(path, allow_pickle=False)
+    assert str(z["kind"]) == "krylov_state"
+    return (jnp.asarray(z["x"]), np.asarray(z["res_history"]),
+            int(z["iters"]), json.loads(str(z["meta"])))

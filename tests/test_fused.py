@@ -1,0 +1,38 @@
+"""Fused multiphase apply equals the assembled stencil operator."""
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from mpbp_tpu.models.fused import make_fused_apply
+from mpbp_tpu.models.multiphase import make_multiphase_operator
+from mpbp_tpu.parallel.sharding import stacked_matvec
+
+
+@pytest.mark.parametrize("params", [
+    dict(c=1, d=-1, xi=1.0, eta_n=100.0, eta_s=1.0),
+    dict(c=1, d=-1, xi=1.0, eta_n=1.0, eta_s=1.0),
+    dict(c=0.5, d=-2.0, xi=3.0, eta_n=10.0, eta_s=0.1),
+])
+def test_fused_matches_stencil(params):
+    op = make_multiphase_operator(16, **params)
+    rng = np.random.default_rng(0)
+    v = jnp.asarray(rng.normal(size=(5, 16, 16)))
+    a = np.asarray(stacked_matvec(op.A)(v))
+    b = np.asarray(make_fused_apply(op)(v))
+    np.testing.assert_allclose(b, a, rtol=1e-12, atol=1e-12 * np.abs(a).max())
+
+
+def test_fused_sharded_matches(mesh8):
+    import jax
+    from mpbp_tpu.parallel import sharding as sh
+
+    op = make_multiphase_operator(16)
+    mv = make_fused_apply(op)
+    rng = np.random.default_rng(1)
+    v = jnp.asarray(rng.normal(size=(5, 16, 16)))
+    expect = np.asarray(mv(v))
+    vsh = jax.device_put(v, sh.vector_sharding(mesh8))
+    got = jax.jit(mv)(vsh)
+    np.testing.assert_allclose(np.asarray(got), expect, rtol=1e-12)
+    assert len(got.sharding.device_set) == 8
