@@ -118,6 +118,25 @@ def make_preconditioner(op: MultiphaseOperator, kind: str,
                                   method="cg")
         return pcs.make_lsc_pc(op, f_inner, p_inner)
 
+    if kind in ("lsc_mg", "lsc_mg_krylov"):
+        # multigrid pressure inner solve — the author's stated production
+        # configuration (reference solve.py:262-266 'Multigrid PC with
+        # Jacobi smoother')
+        from mpbp_tpu.solvers.multigrid import MGPressureSolver
+
+        p_inner = MGPressureSolver.of(op, cycles=3)
+        if kind == "lsc_mg":
+            f_inner = pcs.ILUInner.ilut_of(op.F, fill=ilut_fill, tau=ilut_tau,
+                                           dtype=dtype, refine=ilut_refine)
+        else:
+            f_mv = krylov.flatten_op(op.F.apply,
+                                     {f: jnp.zeros(op.grid.shape, dtype)
+                                      for f in op.F.in_fields},
+                                     op.F.in_fields)
+            f_inner = pcs.KrylovInner(f_mv, tol=inner_tol,
+                                      maxiter=inner_iters, method="gmres")
+        return pcs.make_lsc_pc(op, f_inner, p_inner)
+
     raise ValueError(f"unknown preconditioner kind: {kind}")
 
 

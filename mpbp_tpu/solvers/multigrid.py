@@ -1,0 +1,156 @@
+"""Geometric multigrid for the pressure Schur block (GtG) — and the inner
+solver the reference's author names as the production target ('In IBAMR,
+we'd use Multigrid PC with Jacobi smoother', reference solve.py:262-266).
+
+GtG = (-D) G is a variable-coefficient 5-point pressure Poisson operator on
+the periodic cell grid with coefficients tx^2 + ty^2 derived from theta
+(see solvers/preconditioners.lsc_products). Geometric MG is the natural TPU
+solver for it: every smoothing sweep is a fused stencil apply, restriction/
+prolongation are reshapes + means, and the level hierarchy is a static
+Python recursion inside one jit.
+
+Components:
+  * rediscretized coarse operators: coarse theta = 2x2 cell average of the
+    fine theta plane, coarse GtG built from it with the same stencil algebra
+    (models/multiphase.py builders) — no Galerkin triple products needed;
+  * weighted-Jacobi smoother (damping 0.8);
+  * full-weighting restriction (2x2 mean), piecewise-constant prolongation;
+  * coarsest level: dense pseudo-inverse (handles the constant nullspace);
+  * mean projection per cycle (the periodic problem's nullspace, SURVEY.md
+    hard-part 5).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Callable
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from mpbp_tpu.models.fields import MACGrid, PhaseFields
+from mpbp_tpu.models.multiphase import (MultiphaseOperator,
+                                        divergence_operator,
+                                        gradient_operator)
+from mpbp_tpu.ops.stencil import StencilOperator, shift
+
+
+def _phase_fields_from_cell(grid: MACGrid, T: jax.Array) -> PhaseFields:
+    """PhaseFields from an explicit cell-centered theta plane (coarse
+    levels have no closed-form theta). Pointwise face values are replaced by
+    face averages — only the smoother quality depends on them here."""
+    xface = 0.5 * (shift(T, 0, -1) + T)
+    yface = 0.5 * (shift(T, -1, 0) + T)
+    node = 0.25 * (shift(T, -1, -1) + shift(T, -1, 0) + shift(T, 0, -1) + T)
+    return PhaseFields(cell=T, xface=xface, yface=yface, node=node,
+                       xface_pt=xface, yface_pt=yface)
+
+
+def _gtg_from_theta(T_n: jax.Array, n: int, d_p: float, d_div: float,
+                    dtype) -> StencilOperator:
+    """Pressure Schur stencil (-D) G for both phases from the theta plane."""
+    grid = MACGrid(n, dtype=dtype)
+    ph_n = _phase_fields_from_cell(grid, T_n)
+    ph_s = _phase_fields_from_cell(grid, 1.0 - T_n)
+    G = d_p * (gradient_operator(ph_n, grid, "u", "v", "p")
+               + gradient_operator(ph_s, grid, "u2", "v2", "p"))
+    D = (divergence_operator(ph_n, grid, "u", "v", "p")
+         + divergence_operator(ph_s, grid, "u2", "v2", "p"))
+    GtG = (d_div * D) @ G
+    return StencilOperator(("p",), ("p",), GtG.terms, grid.shape)
+
+
+def restrict_cell(x: jax.Array) -> jax.Array:
+    """Full-weighting 2x2 cell average: (n, n) -> (n/2, n/2)."""
+    n = x.shape[0]
+    return x.reshape(n // 2, 2, n // 2, 2).mean(axis=(1, 3))
+
+
+def prolong_cell(x: jax.Array) -> jax.Array:
+    """Piecewise-constant prolongation: (n/2, n/2) -> (n, n)."""
+    return jnp.repeat(jnp.repeat(x, 2, axis=0), 2, axis=1)
+
+
+@dataclasses.dataclass
+class MGLevel:
+    n: int
+    op: StencilOperator
+    diag: jax.Array                 # (n, n) stencil diagonal
+    coarse_pinv: jax.Array | None   # dense pinv at the coarsest level
+
+
+def build_pressure_mg(mop: MultiphaseOperator, n_coarsest: int = 8,
+                      dtype=None) -> list[MGLevel]:
+    """Level hierarchy for the GtG pressure block of an assembled system."""
+    dtype = dtype or mop.phase_n.cell.dtype
+    d_p, d_div = mop.params["d_p"], mop.params["d_div"]
+    levels: list[MGLevel] = []
+    T = mop.phase_n.cell
+    n = mop.grid.n
+    while True:
+        op = _gtg_from_theta(T, n, d_p, d_div, dtype)
+        diag = op.terms[("p", "p")][(0, 0)]
+        coarse_pinv = None
+        if n <= n_coarsest or n % 2 != 0:
+            coarse_pinv = jnp.asarray(np.linalg.pinv(op.to_dense()), dtype)
+            levels.append(MGLevel(n, op, diag, coarse_pinv))
+            break
+        levels.append(MGLevel(n, op, diag, None))
+        T = restrict_cell(T)
+        n //= 2
+    return levels
+
+
+def _smooth(level: MGLevel, b, x, sweeps: int, damping: float):
+    inv_d = damping / level.diag
+
+    def body(_, x):
+        r = b - level.op.apply({"p": x})["p"]
+        return x + inv_d * r
+
+    return jax.lax.fori_loop(0, sweeps, body, x)
+
+
+def v_cycle(levels: list[MGLevel], b: jax.Array, x: jax.Array,
+            lev: int = 0, pre: int = 2, post: int = 2,
+            damping: float = 0.8) -> jax.Array:
+    level = levels[lev]
+    if level.coarse_pinv is not None:
+        n = level.n
+        return (level.coarse_pinv @ b.ravel()).reshape(n, n)
+    x = _smooth(level, b, x, pre, damping)
+    r = b - level.op.apply({"p": x})["p"]
+    rc = restrict_cell(r)
+    ec = v_cycle(levels, rc, jnp.zeros_like(rc), lev + 1, pre, post, damping)
+    # piecewise-constant prolongation; the factor 4 accounts for the 2x2
+    # full-weighting restriction (R = P^T / 4 here)
+    x = x + prolong_cell(ec)
+    x = _smooth(level, b, x, post, damping)
+    return x
+
+
+@dataclasses.dataclass
+class MGPressureSolver:
+    """Fixed-cycle multigrid inner solve for GtG (flexible-outer legal)."""
+
+    levels: list[MGLevel]
+    cycles: int = 2
+    project_mean: bool = True
+
+    @classmethod
+    def of(cls, mop: MultiphaseOperator, cycles: int = 2,
+           n_coarsest: int = 8) -> "MGPressureSolver":
+        return cls(build_pressure_mg(mop, n_coarsest), cycles)
+
+    def __call__(self, v: jax.Array) -> jax.Array:
+        n = self.levels[0].n
+        b = v.reshape(n, n)
+        if self.project_mean:
+            b = b - jnp.mean(b)
+        x = jnp.zeros_like(b)
+        for _ in range(self.cycles):
+            x = v_cycle(self.levels, b, x)
+        if self.project_mean:
+            x = x - jnp.mean(x)
+        return x.ravel()
