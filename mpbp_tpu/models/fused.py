@@ -9,116 +9,147 @@ preconditioner.py:112-120) plus two pointwise face planes for the mass term
 the apply into an 8-plane-in / 5-plane-out bandwidth problem — ~5x less HBM
 traffic, which is the whole game for a stencil SpMV on TPU.
 
-The arithmetic below is the same coefficient algebra as
-models/multiphase.py (see its docstring derivation), regrouped in
-flux/difference form; equality with the assembled operator is asserted by
-tests/test_fused.py to 1e-12.
+The arithmetic is expressed once, in `multiphase_apply_math`, against an
+abstract shift primitive `sh(plane, dr, dc)`:
+
+  * XLA path (`make_fused_apply`): sh = global periodic roll; every operand
+    appears via sh so the expression graph is uniform.
+  * Pallas path (`mpbp_tpu.ops.pallas_stencil`): planes arrive as halo tiles
+    (TR+2 rows); sh slices rows [1+dr, 1+dr+TR) and rolls columns in-lane.
+    sh(x, 0, 0) crops a tile to its interior.
+
+Equality with the assembled operator is asserted to 1e-12 by
+tests/test_fused.py. The coefficient algebra matches models/multiphase.py's
+documented derivation term by term (grouped in flux form).
 """
 
 from __future__ import annotations
 
-from functools import partial
 from typing import Callable
 
 import jax
 import jax.numpy as jnp
 
-from mpbp_tpu.models.multiphase import ALL_FIELDS, MultiphaseOperator
-from mpbp_tpu.ops.stencil import shift
+from mpbp_tpu.models.multiphase import MultiphaseOperator
+from mpbp_tpu.ops.stencil import shift as _roll_shift
 
 
-def _phase_momentum(T, u, v, p, dx, dy, d_p):
-    """Viscous Laplacian fluxes + weighted pressure gradient for one phase.
-    Returns (Lu, Lv, Gx, Gy) evaluated from the cell theta plane T alone."""
-    ix2, iy2, ixy, idx, idy = 1 / dx**2, 1 / dy**2, 1 / (dx * dy), 1 / dx, 1 / dy
+def _phase_momentum(sh, T, u, v, p, dx, dy, d_p):
+    """Viscous Laplacian + weighted pressure gradient for one phase, from the
+    cell theta plane T alone. Returns (Lu, Lv, Gx, Gy), interior-shaped."""
+    ix2, iy2, ixy = 1 / dx**2, 1 / dy**2, 1 / (dx * dy)
+    idx, idy = 1 / dx, 1 / dy
 
-    Tw = shift(T, 0, -1)
-    Tu_ = shift(T, -1, 0)
-    tn = 0.25 * (T + Tw + Tu_ + shift(T, -1, -1))
-    tnS = shift(tn, 1, 0)
-    tnE = shift(tn, 0, 1)
-    tx = 0.5 * (T + Tw)
-    ty = 0.5 * (T + Tu_)
+    T0 = sh(T, 0, 0)
+    Tw = sh(T, 0, -1)
+    Tu_ = sh(T, -1, 0)
+    # node-averaged theta and its needed shifts, rebuilt from T's shifts so
+    # the same expressions work on halo tiles
+    tn = 0.25 * (T0 + Tw + Tu_ + sh(T, -1, -1))
+    tnS = 0.25 * (sh(T, 1, 0) + sh(T, 1, -1) + T0 + Tw)
+    tnE = 0.25 * (sh(T, 0, 1) + T0 + sh(T, -1, 1) + Tu_)
+    tx = 0.5 * (T0 + Tw)
+    ty = 0.5 * (T0 + Tu_)
 
-    uE, uW, uN, uS = (shift(u, 0, 1), shift(u, 0, -1),
-                      shift(u, -1, 0), shift(u, 1, 0))
-    uNE = shift(u, -1, 1)
-    vE, vW, vN, vS = (shift(v, 0, 1), shift(v, 0, -1),
-                      shift(v, -1, 0), shift(v, 1, 0))
-    vSW = shift(v, 1, -1)
+    u0, uE, uW = sh(u, 0, 0), sh(u, 0, 1), sh(u, 0, -1)
+    uN, uS, uNE = sh(u, -1, 0), sh(u, 1, 0), sh(u, -1, 1)
+    v0, vE, vW = sh(v, 0, 0), sh(v, 0, 1), sh(v, 0, -1)
+    vN, vS, vSW = sh(v, -1, 0), sh(v, 1, 0), sh(v, 1, -1)
 
-    # u-momentum row (x-face): see models/multiphase.py u-row derivation
-    Lu = (ix2 * (T * (uE - u) - Tw * (u - uW))
-          + iy2 * (tn * (uN - u) - tnS * (u - uS))
-          + ixy * (tn * (v - vW) - T * (v - vS)
+    # u-momentum row (x-face): models/multiphase.py u-row derivation
+    Lu = (ix2 * (T0 * (uE - u0) - Tw * (u0 - uW))
+          + iy2 * (tn * (uN - u0) - tnS * (u0 - uS))
+          + ixy * (tn * (v0 - vW) - T0 * (v0 - vS)
                    + Tw * (vW - vSW) - tnS * (vS - vSW)))
 
     # v-momentum row (y-face)
-    Lv = (iy2 * (Tu_ * (vN - v) - T * (v - vS))
-          + ix2 * (tnE * (vE - v) - tn * (v - vW))
-          + ixy * (tn * u - T * u + T * uE - tnE * uE
-                   + Tu_ * uN - tn * uN + tnE * uNE - Tu_ * uNE))
+    Lv = (iy2 * (Tu_ * (vN - v0) - T0 * (v0 - vS))
+          + ix2 * (tnE * (vE - v0) - tn * (v0 - vW))
+          + ixy * ((tn - T0) * u0 + (T0 - tnE) * uE
+                   + (Tu_ - tn) * uN + (tnE - Tu_) * uNE))
 
-    pW = shift(p, 0, -1)
-    pN = shift(p, -1, 0)
-    Gx = d_p * idx * tx * (p - pW)
-    Gy = d_p * idy * ty * (pN - p)
+    p0, pW, pN = sh(p, 0, 0), sh(p, 0, -1), sh(p, -1, 0)
+    Gx = d_p * idx * tx * (p0 - pW)
+    Gy = d_p * idy * ty * (pN - p0)
     return Lu, Lv, Gx, Gy
 
 
-def _phase_divergence(T, u, v, dx, dy):
+def _phase_divergence(sh, T, u, v, dx, dy):
     """Weighted divergence at cells from the cell theta plane."""
-    Tw = shift(T, 0, -1)
-    Tu_ = shift(T, -1, 0)
-    tx = 0.5 * (T + Tw)
-    ty = 0.5 * (T + Tu_)
-    txE = shift(tx, 0, 1)
-    tyS = shift(ty, 1, 0)
-    return ((txE * shift(u, 0, 1) - tx * u) / dx
-            + (ty * v - tyS * shift(v, 1, 0)) / dy)
+    T0 = sh(T, 0, 0)
+    tx = 0.5 * (T0 + sh(T, 0, -1))
+    ty = 0.5 * (T0 + sh(T, -1, 0))
+    txE = 0.5 * (sh(T, 0, 1) + T0)
+    tyS = 0.5 * (T0 + sh(T, 1, 0))
+    return ((txE * sh(u, 0, 1) - tx * sh(u, 0, 0)) / dx
+            + (ty * sh(v, 0, 0) - tyS * sh(v, 1, 0)) / dy)
 
 
-def make_fused_apply(op: MultiphaseOperator) -> Callable:
-    """Build the fused matvec on stacked (5, n, n) vectors, numerically equal
-    to stacked_matvec(op.A) but reading only theta planes + state."""
-    p = op.params
-    c, d, xi = p["c"], p["d"], p["xi"]
-    eta_n, eta_s = p["eta_n"], p["eta_s"]
-    d_p, d_div = p["d_p"], p["d_div"]
-    dx, dy = op.grid.dx, op.grid.dy
+def multiphase_apply_math(sh, Tn, Wnx, Wny, un, vn, us, vs, pr,
+                          params: dict, dx: float, dy: float):
+    """Complete A-apply from (theta planes, state planes) under an abstract
+    shift primitive. Wnx/Wny are pointwise face-theta planes and are already
+    interior-shaped (they are only used at zero offset)."""
+    c, d, xi = params["c"], params["d"], params["xi"]
+    eta_n, eta_s = params["eta_n"], params["eta_s"]
+    d_p, d_div = params["d_p"], params["d_div"]
 
-    Tn = op.phase_n.cell
-    Wnx, Wny = op.phase_n.xface_pt, op.phase_n.yface_pt
-    # solvent theta is 1 - theta_n everywhere (reference preconditioner.py:14)
-    Ts = 1.0 - Tn
+    def ones_like(x):
+        return jnp.ones((), x.dtype)
+
+    Tn0 = sh(Tn, 0, 0)
+    Ts = 1.0 - Tn  # full (possibly extended) plane: shifts of Ts match 1-shifts
     Wsx, Wsy = 1.0 - Wnx, 1.0 - Wny
 
-    # drag diagonal xi * t * (1 - t) from face-averaged theta — identical for
-    # both phases (t(1-t) symmetry, models/multiphase.py drag_diagonal)
-    txn = 0.5 * (Tn + shift(Tn, 0, -1))
-    tyn = 0.5 * (Tn + shift(Tn, -1, 0))
+    # drag diagonal xi*t*(1-t) from face-averaged theta (phase-symmetric)
+    txn = 0.5 * (Tn0 + sh(Tn, 0, -1))
+    tyn = 0.5 * (Tn0 + sh(Tn, -1, 0))
     XIx = xi * txn * (1.0 - txn)
     XIy = xi * tyn * (1.0 - tyn)
 
+    Lun, Lvn, Gxn, Gyn = _phase_momentum(sh, Tn, un, vn, pr, dx, dy, d_p)
+    Lus, Lvs, Gxs, Gys = _phase_momentum(sh, Ts, us, vs, pr, dx, dy, d_p)
+
+    un0, vn0 = sh(un, 0, 0), sh(vn, 0, 0)
+    us0, vs0 = sh(us, 0, 0), sh(vs, 0, 0)
+
+    out_un = (c * Wnx * un0 - d * XIx * un0 + d * XIx * us0
+              + d * eta_n * Lun + Gxn)
+    out_vn = (c * Wny * vn0 - d * XIy * vn0 + d * XIy * vs0
+              + d * eta_n * Lvn + Gyn)
+    out_us = (c * Wsx * us0 - d * XIx * us0 + d * XIx * un0
+              + d * eta_s * Lus + Gxs)
+    out_vs = (c * Wsy * vs0 - d * XIy * vs0 + d * XIy * vn0
+              + d * eta_s * Lvs + Gys)
+
+    div = (_phase_divergence(sh, Tn, un, vn, dx, dy)
+           + _phase_divergence(sh, Ts, us, vs, dx, dy))
+    out_p = d_div * div
+    return out_un, out_vn, out_us, out_vs, out_p
+
+
+def make_fused_apply(op: MultiphaseOperator) -> Callable:
+    """Fused matvec on stacked (5, n, n) vectors — numerically equal to
+    stacked_matvec(op.A), reading only theta planes + state."""
+    params = dict(op.params)
+    dx, dy = op.grid.dx, op.grid.dy
+    Tn = op.phase_n.cell
+    Wnx, Wny = op.phase_n.xface_pt, op.phase_n.yface_pt
+
     def mv(vec):
-        un, vn, us, vs, pr = vec[0], vec[1], vec[2], vec[3], vec[4]
-
-        Lun, Lvn, Gxn, Gyn = _phase_momentum(Tn, un, vn, pr, dx, dy, d_p)
-        Lus, Lvs, Gxs, Gys = _phase_momentum(Ts, us, vs, pr, dx, dy, d_p)
-
-        out_un = (c * Wnx * un - d * XIx * un + d * XIx * us
-                  + d * eta_n * Lun + Gxn)
-        out_vn = (c * Wny * vn - d * XIy * vn + d * XIy * vs
-                  + d * eta_n * Lvn + Gyn)
-        out_us = (c * Wsx * us - d * XIx * us + d * XIx * un
-                  + d * eta_s * Lus + Gxs)
-        out_vs = (c * Wsy * vs - d * XIy * vs + d * XIy * vn
-                  + d * eta_s * Lvs + Gys)
-
-        div = (_phase_divergence(Tn, un, vn, dx, dy)
-               + _phase_divergence(Ts, us, vs, dx, dy))
-        out_p = d_div * div
-
-        return jnp.stack([out_un, out_vn, out_us, out_vs, out_p])
+        out = multiphase_apply_math(_roll_shift, Tn, Wnx, Wny,
+                                    vec[0], vec[1], vec[2], vec[3], vec[4],
+                                    params, dx, dy)
+        return jnp.stack(out)
 
     return mv
+
+
+def make_fused_apply_pallas(op: MultiphaseOperator, interpret: bool = False,
+                            block_rows: int = 64) -> Callable:
+    """The same matvec as a single hand-fused Pallas TPU kernel
+    (ops/pallas_stencil.py): one HBM pass over 8 input + 5 output planes."""
+    from mpbp_tpu.ops.pallas_stencil import multiphase_pallas_apply
+
+    return multiphase_pallas_apply(op, interpret=interpret,
+                                   block_rows=block_rows)

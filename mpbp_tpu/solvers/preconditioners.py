@@ -282,6 +282,23 @@ def make_block_triangular_pc(op: MultiphaseOperator, f_inner: Callable,
     return apply
 
 
+def make_mass_schur_inner(op: MultiphaseOperator) -> Callable:
+    """Viscosity-weighted pressure-mass approximation of the Schur inverse:
+    S ~ -(1/eta_mix) Mp  =>  S~^-1 v ~ -eta_mix * v (unit cell mass after the
+    dx*dy weighting cancels in the saddle-point scaling). The classical
+    spectrally-equivalent Schur approximation for variable-viscosity Stokes
+    (BASELINE configs[1]); eta_mix = eta_n theta_n + eta_s theta_s at cells."""
+    p = op.params
+    eta_mix = (p["eta_n"] * op.phase_n.cell
+               + p["eta_s"] * op.phase_s.cell)
+    scale = jnp.asarray(-(p["d"] * -1.0) * eta_mix).ravel()
+
+    def apply(v):
+        return scale * v
+
+    return apply
+
+
 # ---------------------------------------------------------------------------
 # Pressure-nullspace projection: the periodic problem has the constant-p
 # nullspace the reference fought with commented-out projections
