@@ -29,7 +29,11 @@ from mpbp_tpu.utils.norms import norms_report
 @dataclasses.dataclass
 class SolveReport:
     """Everything the reference prints (residual history, norms —
-    reference solve.py:161-170, utils.py:19-26), as data."""
+    reference solve.py:161-170, utils.py:19-26), as data.
+
+    status: 'converged' | 'stagnated' | 'maxiter' — explicit failure
+    surfacing (the reference discards the solver info flag,
+    solve.py:207/237/285; SURVEY.md section 5.3)."""
 
     n: int
     pc: str
@@ -40,6 +44,18 @@ class SolveReport:
     error_norms: dict          # weighted L1/L2/max vs the MMS exact solution
     x: jax.Array
     params: dict
+    status: str = "converged"
+
+
+def classify_status(converged: bool, hist: np.ndarray,
+                    window: int = 10, factor: float = 0.95) -> str:
+    """Stagnation = the last `window` residuals improved by < (1-factor)."""
+    if converged:
+        return "converged"
+    h = hist[~np.isnan(hist)]
+    if len(h) > window and h[-1] > factor * h[-1 - window]:
+        return "stagnated"
+    return "maxiter"
 
 
 def pack_fields(op: MultiphaseOperator, state: dict) -> jax.Array:
@@ -106,17 +122,28 @@ def make_preconditioner(op: MultiphaseOperator, kind: str,
             return pcs.make_block_triangular_pc(op, f_inner, p_inner)
         return pcs.make_lsc_pc(op, f_inner, p_inner)
 
-    if kind == "lsc_krylov":
+    def _f_krylov_inner():
+        """Matrix-free F inner solve: Jacobi(diag F)-preconditioned GMRES.
+        The diagonal PC is what makes this work at viscosity contrast 100
+        (measured: 17 outer iters at n=16 stiff vs divergence without)."""
         f_mv = krylov.flatten_op(op.F.apply,
                                  {f: jnp.zeros(op.grid.shape, dtype)
                                   for f in op.F.in_fields}, op.F.in_fields)
+        fdiag = jnp.concatenate([
+            op.F.terms[(f, f)][(0, 0)].ravel() for f in op.F.out_fields])
+
+        def f_jac(v):
+            return v / fdiag
+
+        return pcs.KrylovInner(f_mv, tol=inner_tol, maxiter=inner_iters,
+                               method="gmres", M=f_jac)
+
+    if kind == "lsc_krylov":
         g_mv = krylov.flatten_op(GtG.apply,
                                  {"p": jnp.zeros(op.grid.shape, dtype)}, ("p",))
-        f_inner = pcs.KrylovInner(f_mv, tol=inner_tol, maxiter=inner_iters,
-                                  method="gmres")
         p_inner = pcs.KrylovInner(g_mv, tol=inner_tol, maxiter=inner_iters,
                                   method="cg")
-        return pcs.make_lsc_pc(op, f_inner, p_inner)
+        return pcs.make_lsc_pc(op, _f_krylov_inner(), p_inner)
 
     if kind in ("lsc_mg", "lsc_mg_krylov"):
         # multigrid pressure inner solve — the author's stated production
@@ -129,12 +156,9 @@ def make_preconditioner(op: MultiphaseOperator, kind: str,
             f_inner = pcs.ILUInner.ilut_of(op.F, fill=ilut_fill, tau=ilut_tau,
                                            dtype=dtype, refine=ilut_refine)
         else:
-            f_mv = krylov.flatten_op(op.F.apply,
-                                     {f: jnp.zeros(op.grid.shape, dtype)
-                                      for f in op.F.in_fields},
-                                     op.F.in_fields)
-            f_inner = pcs.KrylovInner(f_mv, tol=inner_tol,
-                                      maxiter=inner_iters, method="gmres")
+            # fully matrix-free, factorization-free configuration — the
+            # sharded/large-scale default (BASELINE configs[3]-[4])
+            f_inner = _f_krylov_inner()
         return pcs.make_lsc_pc(op, f_inner, p_inner)
 
     raise ValueError(f"unknown preconditioner kind: {kind}")
@@ -174,6 +198,7 @@ def solve_multiphase(n: int = 16, c: float = 1.0, d: float = -1.0,
         error_norms=err, x=result.x,
         params=dict(c=c, d=d, xi=xi, eta_n=eta_n, eta_s=eta_s, tol=tol,
                     maxiter=maxiter, problem=problem),
+        status=classify_status(bool(result.converged), hist),
     )
 
 

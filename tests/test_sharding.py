@@ -109,3 +109,22 @@ def test_sharded_solve_converges_with_matrix_free_pc(problem16, mesh8):
 
     res = sh.sharded_solve(sop, b, mesh8, tol=1e-8, maxiter=100, pc=pc)
     assert bool(res.converged), float(res.relres)
+
+
+def test_sharded_reduction_deterministic(problem16, mesh8):
+    """Deterministic cross-device reductions (SURVEY.md section 5.2): the
+    same sharded Arnoldi projection run twice gives bit-identical results."""
+    op, u, b = problem16
+    sop = sh.shard_multiphase(op, mesh8)
+    v = jax.device_put(sh.stack_state(b), sh.vector_sharding(mesh8))
+    mv = jax.jit(sh.stacked_matvec(sop.A))
+
+    def projection(x):
+        w = mv(x)
+        return jnp.sum(w * x), w
+
+    f = jax.jit(projection)
+    d1, w1 = f(v)
+    d2, w2 = f(v)
+    assert float(d1) == float(d2)
+    np.testing.assert_array_equal(np.asarray(w1), np.asarray(w2))

@@ -94,3 +94,30 @@ def test_lsc_krylov_matrix_free_converges():
                            tol=1e-8, maxiter=150,
                            inner_tol=1e-6, inner_iters=100)
     assert rep.converged, (rep.iters, rep.relres)
+
+
+def test_status_classification():
+    """Failure surfacing (SURVEY.md 5.3): stagnation vs maxiter vs
+    convergence is reported explicitly."""
+    rep = solve_multiphase(n=16, eta_n=100.0, eta_s=1.0, pc="none",
+                           tol=1e-8, maxiter=100)
+    assert rep.status == "stagnated", (rep.status, rep.relres)
+    rep = solve_multiphase(n=16, eta_n=100.0, eta_s=1.0, pc="lsc_ilut",
+                           tol=1e-8, maxiter=150)
+    assert rep.status == "converged"
+    rep = solve_multiphase(n=16, eta_n=100.0, eta_s=1.0, pc="lsc_ilut",
+                           tol=1e-8, maxiter=8)
+    assert rep.status in ("maxiter", "stagnated")
+
+
+def test_matrix_free_mg_beats_reference_scaling():
+    """The factorization-free configuration (MG pressure + Jacobi-GMRES F)
+    converges mesh-independently: 17 outer iters at n=16 AND n=32 stiff,
+    vs the reference's 49 -> 89 growth (BASELINE.md). This is the sharded
+    large-scale default."""
+    for n in (16, 32):
+        rep = solve_multiphase(n=n, eta_n=100.0, eta_s=1.0,
+                               pc="lsc_mg_krylov", tol=1e-8, maxiter=60,
+                               inner_tol=1e-5, inner_iters=60)
+        assert rep.converged, (n, rep.relres)
+        assert rep.iters <= 25, (n, rep.iters)
