@@ -121,3 +121,15 @@ def test_matrix_free_mg_beats_reference_scaling():
                                inner_tol=1e-5, inner_iters=60)
         assert rep.converged, (n, rep.relres)
         assert rep.iters <= 25, (n, rep.iters)
+
+
+def test_true_residual_matches_recurrence():
+    """The Givens-recurrence residual estimate agrees with the true
+    ||b - A x||/||b|| at convergence (reference's true-residual monitor,
+    solve.py:161-170)."""
+    rep = solve_multiphase(n=16, eta_n=100.0, eta_s=1.0, pc="lsc_ilut",
+                           tol=1e-8, maxiter=150)
+    assert rep.converged
+    true_rr = rep.params["true_relres"]
+    assert true_rr < 5e-8, true_rr
+    assert abs(true_rr - rep.relres) < 5 * max(true_rr, rep.relres)

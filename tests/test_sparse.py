@@ -108,3 +108,35 @@ def test_prune():
     A = CSRMatrix.from_coo(3, 3, [0, 1, 2], [0, 1, 2], [1.0, 1e-12, 2.0])
     P = A.prune(1e-8)
     assert P.nnz == 2
+
+
+def test_dia_from_stencil_matvec():
+    """DIA conversion of a periodic stencil matrix (GtG) reproduces the CSR
+    matvec with pure shift arithmetic."""
+    from mpbp_tpu.models.multiphase import make_multiphase_operator
+    from mpbp_tpu.ops.dia import DIAMatrix
+    from mpbp_tpu.solvers.preconditioners import lsc_products
+
+    op = make_multiphase_operator(8, eta_n=3.0)
+    GtG, _ = lsc_products(op)
+    csr = GtG.to_csr(drop_tol=1e-14)
+    dia = DIAMatrix.from_csr(csr, periodic=True)
+    assert len(dia.offsets) <= 9  # 5-point stencil + wraps fold to few diags
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(rng.normal(size=csr.shape[1]))
+    np.testing.assert_allclose(np.asarray(dia.matvec(x)),
+                               np.asarray(csr.matvec(x)), rtol=1e-12)
+
+
+def test_dia_general_nonperiodic():
+    from mpbp_tpu.ops.dia import DIAMatrix
+
+    rng = np.random.default_rng(1)
+    n = 30
+    A = np.diag(rng.normal(size=n)) + np.diag(rng.normal(size=n - 2), 2)
+    rows, cols = np.nonzero(A)
+    csr = CSRMatrix.from_coo(n, n, rows, cols, A[rows, cols])
+    dia = DIAMatrix.from_csr(csr, periodic=False)
+    x = jnp.asarray(rng.normal(size=n))
+    np.testing.assert_allclose(np.asarray(dia.matvec(x)), A @ np.asarray(x),
+                               rtol=1e-12)
