@@ -145,6 +145,24 @@ def make_preconditioner(op: MultiphaseOperator, kind: str,
                                   method="cg")
         return pcs.make_lsc_pc(op, _f_krylov_inner(), p_inner)
 
+    if kind == "lsc_mg_full":
+        # fully geometric-multigrid configuration: MG V-cycles precondition
+        # an inner GMRES on F, MG solves the pressure block — mesh-
+        # independent outer counts AND mesh-independent inner cost
+        # (the large-scale default; BASELINE configs[3]-[4])
+        from mpbp_tpu.solvers.multigrid import (MGPressureSolver,
+                                                MGVelocitySolver)
+
+        p_inner = MGPressureSolver.of(op, cycles=3)
+        mg_vel = MGVelocitySolver.of(op, cycles=1)
+        f_mv = krylov.flatten_op(op.F.apply,
+                                 {f: jnp.zeros(op.grid.shape, dtype)
+                                  for f in op.F.in_fields}, op.F.in_fields)
+        f_inner = pcs.KrylovInner(f_mv, tol=inner_tol,
+                                  maxiter=max(inner_iters // 4, 8),
+                                  method="gmres", M=mg_vel)
+        return pcs.make_lsc_pc(op, f_inner, p_inner)
+
     if kind in ("lsc_mg", "lsc_mg_krylov"):
         # multigrid pressure inner solve — the author's stated production
         # configuration (reference solve.py:262-266 'Multigrid PC with

@@ -163,34 +163,15 @@ class MultiphaseOperator:
     params: dict
 
 
-def make_multiphase_operator(
-    n: int,
-    c: float = 1.0,
-    d: float = -1.0,
-    xi: float = 1.0,
-    eta_n: float = 1.0,
-    eta_s: float = 1.0,
-    d_p: float = 1.0,
-    d_div: float = -1.0,
-    thn_fn: Callable = default_thn,
-    dtype=jnp.float64,
-) -> MultiphaseOperator:
-    """Assemble the coupled multiphase Stokes operator (capability of
-    reference preconditioner.py:299-341) on an n x n periodic MAC grid."""
-    grid = MACGrid(n, dtype=dtype)
-
-    def ths_fn(y, x):
-        return 1.0 - thn_fn(y, x)
-
-    ph_n = make_phase_fields(grid, thn_fn)
-    ph_s = make_phase_fields(grid, ths_fn)
-
+def assemble_velocity_block(ph_n: PhaseFields, ph_s: PhaseFields,
+                            grid: MACGrid, c: float, d: float, xi: float,
+                            eta_n: float, eta_s: float) -> StencilOperator:
+    """The coupled velocity block F = mass/drag coupling + d*blockdiag(
+    eta_n Ln, eta_s Ls) (reference preconditioner.py:331-337), from explicit
+    phase fields — reused by the main assembly and by multigrid coarse
+    levels (solvers/multigrid.py)."""
     Ln = laplacian_operator(ph_n, grid, "un", "vn")
     Ls = laplacian_operator(ph_s, grid, "us", "vs")
-    Gn = gradient_operator(ph_n, grid, "un", "vn", "p")
-    Gs = gradient_operator(ph_s, grid, "us", "vs", "p")
-    Dn = divergence_operator(ph_n, grid, "un", "vn", "p")
-    Ds = divergence_operator(ph_s, grid, "us", "vs", "p")
     XIn = drag_diagonal(ph_n, xi, grid, "un", "vn")
     XIs = drag_diagonal(ph_s, xi, grid, "us", "vs")
 
@@ -217,15 +198,47 @@ def make_multiphase_operator(
     XIn_cross = renamed_diag(XIn, {"un": "us", "vn": "vs"})
     XIs_cross = renamed_diag(XIs, {"us": "un", "vs": "vn"})
 
-    # F = (mass/drag coupling) + d * blockdiag(eta_n Ln, eta_s Ls)
-    # (reference preconditioner.py:331-337)
-    F = (
+    return (
         Wn + Ws
         + (-d) * XIn + d * XIn_cross
         + (-d) * XIs + d * XIs_cross
         + (d * eta_n) * Ln
         + (d * eta_s) * Ls
     )
+
+
+def make_multiphase_operator(
+    n: int,
+    c: float = 1.0,
+    d: float = -1.0,
+    xi: float = 1.0,
+    eta_n: float = 1.0,
+    eta_s: float = 1.0,
+    d_p: float = 1.0,
+    d_div: float = -1.0,
+    thn_fn: Callable = default_thn,
+    dtype=jnp.float64,
+) -> MultiphaseOperator:
+    """Assemble the coupled multiphase Stokes operator (capability of
+    reference preconditioner.py:299-341) on an n x n periodic MAC grid."""
+    grid = MACGrid(n, dtype=dtype)
+
+    def ths_fn(y, x):
+        return 1.0 - thn_fn(y, x)
+
+    ph_n = make_phase_fields(grid, thn_fn)
+    ph_s = make_phase_fields(grid, ths_fn)
+
+    Gn = gradient_operator(ph_n, grid, "un", "vn", "p")
+    Gs = gradient_operator(ph_s, grid, "us", "vs", "p")
+    Dn = divergence_operator(ph_n, grid, "un", "vn", "p")
+    Ds = divergence_operator(ph_s, grid, "us", "vs", "p")
+    XIn = drag_diagonal(ph_n, xi, grid, "un", "vn")
+    XIs = drag_diagonal(ph_s, xi, grid, "us", "vs")
+    Ln = laplacian_operator(ph_n, grid, "un", "vn")
+    Ls = laplacian_operator(ph_s, grid, "us", "vs")
+
+    F = assemble_velocity_block(ph_n, ph_s, grid, c, d, xi, eta_n, eta_s)
 
     G = d_p * (Gn + Gs)  # stacked [Gn; Gs] (reference preconditioner.py:313)
     D = Dn + Ds          # [Dn Ds] (reference preconditioner.py:311)

@@ -2,26 +2,28 @@
 
 XLA compiles the roll-based fused apply (models/fused.py) into many separate
 kernels that materialize shifted planes — measured only ~85 GB/s effective
-HBM bandwidth on a v5e. This kernel does the whole A-apply in ONE pass:
+HBM bandwidth on a v5e. This kernel does the whole A-apply in one pass:
 
-  grid = row stripes of `block_rows` grid rows per program;
-  per stripe, DMA from HBM into VMEM:
-    - theta tile with +-1 halo rows (from a pre-extended (n+2, n) plane,
-      so the copy is contiguous),
-    - the 5 state planes with +-1 halo rows (3 DMAs each: body + wrapped
-      top/bottom halo row — periodic wrap computed from program_id),
-    - pointwise face-theta planes (no halo, pipelined BlockSpec);
-  compute all 5 outputs with the exact shared arithmetic of
-  models/fused.multiphase_apply_math, where the shift primitive is
-  row-slicing of the halo tile + an in-lane column roll;
-  write the 5 output stripes.
+  * state arrives row-extended (5, n+2H, n) (the +-H wrap rows are appended
+    by XLA before the call — ~3% extra rows; the alternative, in-kernel
+    wrapped halo DMAs, needs modular/predicated source indices that this
+    environment's Mosaic remote-compiler rejects);
+  * grid = row stripes; each program issues ONE contiguous aligned DMA per
+    plane (theta tile + 5 state planes) from HBM into VMEM scratch;
+  * computes all 5 outputs with the exact shared arithmetic of
+    models/fused.multiphase_apply_math — the shift primitive is row-slicing
+    of the halo tile + an in-lane column roll;
+  * writes the 5 output stripes through pipelined BlockSpecs.
 
-Minimum traffic: 8 plane-reads + 5 plane-writes = 13 n^2 * 4 bytes.
+H = 8 rows (one f32 sublane tile): TPU DMA requires sublane-aligned
+destinations and sizes — narrower halos fail Mosaic compilation (verified).
+
+Traffic: (8 + 5 * (1 + 2H/n)) plane-reads + 5 plane-writes ~ 13.2 n^2 * 4 B
+at n = 512.
 """
 
 from __future__ import annotations
 
-from functools import partial
 from typing import Callable
 
 import jax
@@ -33,12 +35,7 @@ from jax.experimental.pallas import tpu as pltpu
 from mpbp_tpu.models.fused import multiphase_apply_math
 from mpbp_tpu.models.multiphase import MultiphaseOperator
 
-
-# Halo width stored in VMEM tiles. Only +-1 rows are consumed, but TPU DMA
-# requires sublane-tile (8-row for f32) aligned destinations and sizes —
-# 1-row halo copies fail Mosaic compilation (verified empirically), so the
-# halo is padded to a full sublane tile.
-_H = 8
+_H = 8  # sublane-tile halo (see module docstring)
 
 
 def _tile_shift(TR: int):
@@ -54,6 +51,11 @@ def _tile_shift(TR: int):
     return sh
 
 
+def _extend_rows(x: jax.Array, H: int) -> jax.Array:
+    """Append periodic wrap rows: (..., n, n) -> (..., n+2H, n)."""
+    return jnp.concatenate([x[..., -H:, :], x, x[..., :H, :]], axis=-2)
+
+
 def multiphase_pallas_apply(op: MultiphaseOperator, interpret: bool = False,
                             block_rows: int = 64) -> Callable:
     n = op.grid.n
@@ -64,69 +66,27 @@ def multiphase_pallas_apply(op: MultiphaseOperator, interpret: bool = False,
     dtype = op.phase_n.cell.dtype
     params = {k: float(v) for k, v in op.params.items() if k != "n"}
     dx, dy = op.grid.dx, op.grid.dy
-
     H = _H
-    assert TR >= H and n >= H, (TR, n)
-    # pre-extended theta plane: rows [n-H.., 0..n-1, ..H-1] — the halo DMA is
-    # one contiguous aligned copy for every stripe
-    Tn = op.phase_n.cell
-    Tn_ext = jnp.concatenate([Tn[-H:], Tn, Tn[:H]], axis=0)
-    Wnx, Wny = op.phase_n.xface_pt, op.phase_n.yface_pt
+    assert TR >= H and TR % H == 0, (TR, H)
 
+    Tn_ext = _extend_rows(op.phase_n.cell, H)       # static, built once
+    Wnx, Wny = op.phase_n.xface_pt, op.phase_n.yface_pt
     sh = _tile_shift(TR)
 
     def kernel(tn_hbm, wnx_ref, wny_ref, state_hbm, out_ref,
                tn_tile, st_tile, sems):
         i = pl.program_id(0)
         r0 = i * TR
-        first = i == 0
-        last = i == n_blocks - 1
 
-        # The Mosaic remote-compile rejects DMA indices it cannot prove
-        # aligned (modular arithmetic breaks its affine analysis — verified
-        # empirically), so the periodic wrap is expressed as predicated
-        # copies with static edge indices + affine interior indices.
-        body = [pltpu.make_async_copy(
+        copies = [pltpu.make_async_copy(
             tn_hbm.at[pl.ds(r0, TR + 2 * H), :], tn_tile, sems.at[0])]
         for f in range(5):
-            body.append(pltpu.make_async_copy(
-                state_hbm.at[f, pl.ds(r0, TR), :],
-                st_tile.at[f, pl.ds(H, TR), :], sems.at[1 + f]))
-        for c in body:
+            copies.append(pltpu.make_async_copy(
+                state_hbm.at[f, pl.ds(r0, TR + 2 * H), :],
+                st_tile.at[f], sems.at[1 + f]))
+        for c in copies:
             c.start()
-
-        def halo_copies(top_idx, bot_idx, sem_base):
-            cs = []
-            for f in range(5):
-                cs.append(pltpu.make_async_copy(
-                    state_hbm.at[f, pl.ds(top_idx, H), :],
-                    st_tile.at[f, pl.ds(0, H), :], sems.at[sem_base + f]))
-                cs.append(pltpu.make_async_copy(
-                    state_hbm.at[f, pl.ds(bot_idx, H), :],
-                    st_tile.at[f, pl.ds(TR + H, H), :],
-                    sems.at[sem_base + 5 + f]))
-            return cs
-
-        @pl.when(first)
-        def _():
-            for c in halo_copies(n - H, TR, 6):
-                c.start()
-
-        @pl.when(last)
-        def _():
-            for c in halo_copies(r0 - H, 0, 6):
-                c.start()
-
-        @pl.when(jnp.logical_not(first | last))
-        def _():
-            for c in halo_copies(r0 - H, r0 + TR, 6):
-                c.start()
-
-        for c in body:
-            c.wait()
-        # Wait on the halo DMAs through descriptors with identical
-        # sizes/semaphores (only .start() uses the source index).
-        for c in halo_copies(0, 0, 6):
+        for c in copies:
             c.wait()
 
         out = multiphase_apply_math(
@@ -140,20 +100,20 @@ def multiphase_pallas_apply(op: MultiphaseOperator, interpret: bool = False,
         kernel,
         grid=(n_blocks,),
         in_specs=[
-            pl.BlockSpec(memory_space=pltpu.ANY),      # Tn_ext (n+2, n)
+            pl.BlockSpec(memory_space=pl.ANY),       # Tn_ext (n+2H, n)
             pl.BlockSpec((TR, n), lambda i: (i, 0),
-                         memory_space=pltpu.VMEM),      # Wnx
+                         memory_space=pltpu.VMEM),   # Wnx
             pl.BlockSpec((TR, n), lambda i: (i, 0),
-                         memory_space=pltpu.VMEM),      # Wny
-            pl.BlockSpec(memory_space=pltpu.ANY),      # state (5, n, n)
+                         memory_space=pltpu.VMEM),   # Wny
+            pl.BlockSpec(memory_space=pl.ANY),       # state_ext (5, n+2H, n)
         ],
         out_specs=pl.BlockSpec((5, TR, n), lambda i: (0, i, 0),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((5, n, n), dtype),
         scratch_shapes=[
-            pltpu.VMEM((TR + 2 * _H, n), dtype),
-            pltpu.VMEM((5, TR + 2 * _H, n), dtype),
-            pltpu.SemaphoreType.DMA((16,)),
+            pltpu.VMEM((TR + 2 * H, n), dtype),
+            pltpu.VMEM((5, TR + 2 * H, n), dtype),
+            pltpu.SemaphoreType.DMA((8,)),
         ],
         interpret=interpret,
         cost_estimate=pl.CostEstimate(
@@ -162,6 +122,6 @@ def multiphase_pallas_apply(op: MultiphaseOperator, interpret: bool = False,
     )
 
     def mv(vec):
-        return call(Tn_ext, Wnx, Wny, vec)
+        return call(Tn_ext, Wnx, Wny, _extend_rows(vec, H))
 
     return mv

@@ -154,3 +154,153 @@ class MGPressureSolver:
         if self.project_mean:
             x = x - jnp.mean(x)
         return x.ravel()
+
+
+# ---------------------------------------------------------------------------
+# Velocity-block multigrid: V-cycles on the coupled F block.
+# The inner F solve is what breaks mesh-independence at large n (a Jacobi-
+# preconditioned inner GMRES loses accuracy as cond(F) ~ eta n^2 grows);
+# geometric MG on F restores it. Face-centered MAC transfers.
+# ---------------------------------------------------------------------------
+def restrict_xface(u: jax.Array) -> jax.Array:
+    """x-face restriction: coarse face (R, C) = mean of the two coincident
+    fine faces (2R, 2C), (2R+1, 2C)."""
+    return 0.5 * (u[0::2, 0::2] + u[1::2, 0::2])
+
+
+def prolong_xface(uc: jax.Array) -> jax.Array:
+    """x-face prolongation: coincident fine faces copy the coarse value;
+    odd-column faces take the mean of the two adjacent coarse columns."""
+    nc = uc.shape[0]
+    right = 0.5 * (uc + jnp.roll(uc, -1, axis=1))
+    u = jnp.zeros((2 * nc, 2 * nc), uc.dtype)
+    u = u.at[0::2, 0::2].set(uc).at[1::2, 0::2].set(uc)
+    u = u.at[0::2, 1::2].set(right).at[1::2, 1::2].set(right)
+    return u
+
+
+def restrict_yface(v: jax.Array) -> jax.Array:
+    """y-face restriction (transpose of x-face)."""
+    return 0.5 * (v[0::2, 0::2] + v[0::2, 1::2])
+
+
+def prolong_yface(vc: jax.Array) -> jax.Array:
+    nc = vc.shape[0]
+    down = 0.5 * (vc + jnp.roll(vc, -1, axis=0))
+    v = jnp.zeros((2 * nc, 2 * nc), vc.dtype)
+    v = v.at[0::2, 0::2].set(vc).at[0::2, 1::2].set(vc)
+    v = v.at[1::2, 0::2].set(down).at[1::2, 1::2].set(down)
+    return v
+
+
+_VEL = ("un", "vn", "us", "vs")
+_XF = ("un", "us")  # x-face fields
+
+
+def _restrict_vel(x: dict) -> dict:
+    return {f: (restrict_xface(x[f]) if f in _XF else restrict_yface(x[f]))
+            for f in _VEL}
+
+
+def _prolong_vel(x: dict) -> dict:
+    return {f: (prolong_xface(x[f]) if f in _XF else prolong_yface(x[f]))
+            for f in _VEL}
+
+
+@dataclasses.dataclass
+class VelLevel:
+    n: int
+    op: StencilOperator            # F on (un, vn, us, vs)
+    diag: dict                     # per-field stencil diagonals
+    coarse_pinv: jax.Array | None
+
+
+def build_velocity_mg(mop: MultiphaseOperator, n_coarsest: int = 8,
+                      dtype=None) -> list[VelLevel]:
+    """Level hierarchy for the coupled velocity block F, rediscretized from
+    2x2-averaged theta planes (models/multiphase.assemble_velocity_block)."""
+    from mpbp_tpu.models.multiphase import assemble_velocity_block
+
+    dtype = dtype or mop.phase_n.cell.dtype
+    p = mop.params
+    levels: list[VelLevel] = []
+    T = mop.phase_n.cell
+    n = mop.grid.n
+    first = True
+    while True:
+        grid = MACGrid(n, dtype=dtype)
+        if first:
+            ph_n, ph_s = mop.phase_n, mop.phase_s  # exact fine-level fields
+            F = mop.F
+        else:
+            ph_n = _phase_fields_from_cell(grid, T)
+            ph_s = _phase_fields_from_cell(grid, 1.0 - T)
+            F = assemble_velocity_block(ph_n, ph_s, grid, p["c"], p["d"],
+                                        p["xi"], p["eta_n"], p["eta_s"])
+        diag = {f: F.terms[(f, f)][(0, 0)] for f in _VEL}
+        if n <= n_coarsest or n % 2 != 0:
+            pinv = jnp.asarray(np.linalg.pinv(F.to_dense()), dtype)
+            levels.append(VelLevel(n, F, diag, pinv))
+            break
+        levels.append(VelLevel(n, F, diag, None))
+        T = restrict_cell(T)
+        n //= 2
+        first = False
+    return levels
+
+
+def _vel_smooth(level: VelLevel, b: dict, x: dict, sweeps: int,
+                damping: float) -> dict:
+    inv_d = {f: damping / level.diag[f] for f in _VEL}
+
+    def body(_, x):
+        Ax = level.op.apply(x)
+        return {f: x[f] + inv_d[f] * (b[f] - Ax[f]) for f in _VEL}
+
+    return jax.lax.fori_loop(0, sweeps, body, x)
+
+
+def vel_v_cycle(levels: list[VelLevel], b: dict, x: dict, lev: int = 0,
+                pre: int = 2, post: int = 2, damping: float = 0.7) -> dict:
+    level = levels[lev]
+    if level.coarse_pinv is not None:
+        n = level.n
+        bv = jnp.concatenate([b[f].ravel() for f in _VEL])
+        xv = level.coarse_pinv @ bv
+        n2 = n * n
+        return {f: xv[i * n2:(i + 1) * n2].reshape(n, n)
+                for i, f in enumerate(_VEL)}
+    x = _vel_smooth(level, b, x, pre, damping)
+    Ax = level.op.apply(x)
+    r = {f: b[f] - Ax[f] for f in _VEL}
+    rc = _restrict_vel(r)
+    zc = {f: jnp.zeros_like(rc[f]) for f in _VEL}
+    ec = vel_v_cycle(levels, rc, zc, lev + 1, pre, post, damping)
+    ef = _prolong_vel(ec)
+    x = {f: x[f] + ef[f] for f in _VEL}
+    x = _vel_smooth(level, b, x, post, damping)
+    return x
+
+
+@dataclasses.dataclass
+class MGVelocitySolver:
+    """Fixed-cycle velocity-block MG on flat (4 n^2,) vectors (the f_inner
+    interface of solvers/preconditioners.make_lsc_pc)."""
+
+    levels: list[VelLevel]
+    cycles: int = 2
+
+    @classmethod
+    def of(cls, mop: MultiphaseOperator, cycles: int = 2,
+           n_coarsest: int = 8) -> "MGVelocitySolver":
+        return cls(build_velocity_mg(mop, n_coarsest), cycles)
+
+    def __call__(self, v: jax.Array) -> jax.Array:
+        n = self.levels[0].n
+        n2 = n * n
+        b = {f: v[i * n2:(i + 1) * n2].reshape(n, n)
+             for i, f in enumerate(_VEL)}
+        x = {f: jnp.zeros_like(b[f]) for f in _VEL}
+        for _ in range(self.cycles):
+            x = vel_v_cycle(self.levels, b, x)
+        return jnp.concatenate([x[f].ravel() for f in _VEL])

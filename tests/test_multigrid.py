@@ -68,3 +68,48 @@ def test_lsc_mg_outer_parity():
                            tol=1e-8, maxiter=150)
     assert rep.converged
     assert rep.iters <= 55, rep.iters  # reference 49; measured 44
+
+
+def test_velocity_mg_converges():
+    from mpbp_tpu.solvers.multigrid import MGVelocitySolver
+    import jax.numpy as jnp
+
+    op = make_multiphase_operator(64, eta_n=100.0)
+    Fd = op.F.to_csr(drop_tol=1e-14).to_dense()
+    rng = np.random.default_rng(0)
+    b = rng.normal(size=4 * 64 * 64)
+    mg = MGVelocitySolver.of(op, cycles=8)
+    x = np.asarray(mg(jnp.asarray(b)))
+    rel = np.linalg.norm(Fd @ x - b) / np.linalg.norm(b)
+    assert rel < 1e-4, rel
+
+
+def test_face_transfer_adjointness_scale():
+    """Restriction is (up to the standard factor) the adjoint of
+    prolongation on face fields."""
+    from mpbp_tpu.solvers.multigrid import (prolong_xface, restrict_xface,
+                                            prolong_yface, restrict_yface)
+    import jax.numpy as jnp
+
+    rng = np.random.default_rng(1)
+    uf = jnp.asarray(rng.normal(size=(16, 16)))
+    uc = jnp.asarray(rng.normal(size=(8, 8)))
+    lhs = float(jnp.sum(restrict_xface(uf) * uc))
+    rhs = float(jnp.sum(uf * prolong_xface(uc)))
+    # P ~ 2 R^T for these stencils (2 coincident fine faces per coarse)
+    assert abs(rhs - 2 * lhs) < 2.1 * abs(lhs) + 1e-9
+
+
+def test_full_mg_mesh_independent():
+    from mpbp_tpu.drivers import solve_multiphase
+
+    iters = []
+    for n in (16, 32, 64):
+        rep = solve_multiphase(n=n, eta_n=100.0, eta_s=1.0, pc="lsc_mg_full",
+                               tol=1e-8, maxiter=60, inner_tol=1e-5,
+                               inner_iters=40)
+        assert rep.converged, (n, rep.relres)
+        iters.append(rep.iters)
+    assert max(iters) <= 25, iters
+    # not growing with n
+    assert iters[-1] <= iters[0] + 3, iters
