@@ -11,6 +11,16 @@ the same operator applied through a SciPy CSR SpMV on the container CPU —
 the reference's execution model (dense numpy in the reference proper;
 scipy.sparse is the strongest CPU stand-in).
 
+Timing methodology: device work is measured as the MARGINAL time per apply
+between two chained-iteration counts (Delta t / Delta k), with each chain
+synchronized by fetching a scalar reduction of the result to the host.
+This removes dispatch/relay fixed costs AND avoids trusting
+block_until_ready, which under the remote-device relay can return before
+device execution completes (measured: chain timings shorter than the
+device-time lower bound). The per-apply figure includes one extra
+renormalization pass over the 5 state planes that keeps the chained values
+finite — i.e. the reported number slightly UNDER-states the raw apply rate.
+
 Extra diagnostics go to stderr; stdout carries only the JSON line.
 """
 
@@ -41,7 +51,7 @@ def main():
     n = int(os.environ.get("BENCH_N", "512"))
     dtype = jnp.float32
 
-    from mpbp_tpu.models.fused import make_fused_apply
+    from mpbp_tpu.models.fused import make_fused_apply, make_fused_apply_pallas
     from mpbp_tpu.models.multiphase import make_multiphase_operator
 
     dev = jax.devices()[0]
@@ -54,38 +64,53 @@ def main():
     nnz = sum(len(offmap) for offmap in op.A.terms.values()) * n * n
     log(f"assembly: {time.time()-t0:.2f}s, nnz={nnz/1e6:.2f}M")
 
-    # production matvec: fused apply recomputing theta-derived coefficients
-    # (numerically identical to the stencil apply — tests/test_fused.py)
-    mv = jax.jit(make_fused_apply(op))
+    # production matvec: single hand-fused Pallas kernel recomputing all
+    # theta-derived coefficients in registers (numerically identical to the
+    # stencil apply — tests/test_fused.py); XLA-roll fallback if the Pallas
+    # path fails to compile on this toolchain.
     v = jnp.ones((5, n, n), dtype)
+    try:
+        mv = jax.jit(make_fused_apply_pallas(op, block_rows=64))
+        t0 = time.time()
+        float(jnp.sum(mv(v)))
+        log(f"pallas fused apply: compile+first {time.time()-t0:.2f}s")
+    except Exception as e:  # pragma: no cover - toolchain-dependent
+        log(f"pallas path failed ({type(e).__name__}: {str(e)[:120]}), "
+            "falling back to XLA roll path")
+        mv = jax.jit(make_fused_apply(op))
+        t0 = time.time()
+        float(jnp.sum(mv(v)))
+        log(f"xla fused apply: compile+first {time.time()-t0:.2f}s")
 
-    t0 = time.time()
-    w = mv(v)
-    jax.block_until_ready(w)
-    log(f"compile+first apply: {time.time()-t0:.2f}s")
+    # steady-state: chain applies on device; renormalize each step so the
+    # chained values stay finite (the extra 5-plane scale pass is included
+    # in — i.e. slightly inflates — the reported per-apply time).
+    scale = 1.0 / np.float32(8.0 * float(op.params["eta_n"]) / op.grid.dx**2)
 
-    # steady-state timing: chain applies to avoid host round-trips
     @jax.jit
     def chain(v, k):
         def body(_, x):
-            return mv(x) * (1.0 / jnp.float32(n))  # keep values bounded
+            return mv(x) * scale
         return jax.lax.fori_loop(0, k, body, v)
 
-    k = 50
-    chain(v, k).block_until_ready()  # warm
-    reps = 5
-    t0 = time.time()
-    for _ in range(reps):
-        w = chain(v, k)
-    jax.block_until_ready(w)
-    dt = (time.time() - t0) / (reps * k)
-    nnz_s = nnz / dt
-    log(f"device apply: {dt*1e6:.1f} us -> {nnz_s/1e9:.2f} Gnnz/s")
+    def run(k):
+        t0 = time.time()
+        float(jnp.sum(chain(v, k)))  # scalar fetch = real device sync
+        return time.time() - t0
 
-    # roofline context: bytes moved >= (5 n^2 read + 5 n^2 write + coefs)
-    bytes_min = (2 * 5 * n * n + nnz) * np.dtype(np.float32).itemsize
-    log(f"min HBM traffic {bytes_min/1e6:.1f} MB -> implied BW "
-        f"{bytes_min/dt/1e9:.0f} GB/s")
+    run(10)
+    run(10)  # warm both compile paths
+    t_lo = min(run(100) for _ in range(3))
+    t_hi = min(run(400) for _ in range(3))
+    dt = (t_hi - t_lo) / 300.0
+    nnz_s = nnz / dt
+    log(f"marginal device apply: {dt*1e6:.1f} us -> {nnz_s/1e9:.2f} Gnnz/s")
+
+    # roofline context: the fused kernel reads 8 planes (theta + 5 state)
+    # and writes 5 — coefficients are recomputed in registers, not streamed.
+    bytes_min = 13 * n * n * np.dtype(np.float32).itemsize
+    log(f"fused min HBM traffic {bytes_min/1e6:.1f} MB -> implied BW "
+        f"{bytes_min/dt/1e9:.0f} GB/s (v5e HBM ~819 GB/s)")
 
     # CPU scipy baseline on the same operator
     try:
