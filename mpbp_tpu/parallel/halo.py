@@ -31,43 +31,40 @@ def halo_width(op: StencilOperator) -> int:
     return H
 
 
-def halo_stencil_apply(op: StencilOperator, mesh: Mesh, axis: str = "x"):
+def halo_stencil_apply(op: StencilOperator, mesh: Mesh, axis: str = "x",
+                       overlap: bool = True):
     """Build a shard_map'd apply(x_dict) -> y_dict with explicit halo
-    exchange. Equivalent to op.apply under a P(axis, None) row partition."""
+    exchange. Equivalent to op.apply under a P(axis, None) row partition.
+
+    With ``overlap=True`` (default) the interior rows — which need no remote
+    data — are computed from purely local slices with no data dependence on
+    the `ppermute`s, so XLA's latency-hiding scheduler can run the ICI
+    transfer concurrently with the interior stencil work (SURVEY.md section 7
+    hard-part #4); only the first/last H output rows consume the halos. With
+    ``overlap=False`` the halos are concatenated up front and the whole band
+    is computed in one pass (simpler schedule; the transfer serializes ahead
+    of all compute).
+    """
     H = halo_width(op)
     ndev = mesh.shape[axis]
     nr, nc = op.shape_grid
     assert nr % ndev == 0, (nr, ndev)
     nl = nr // ndev
     assert H <= nl, f"halo {H} exceeds local rows {nl}"
+    if nl < 2 * H:
+        overlap = False        # no interior rows to overlap with
 
     fwd = [(d, (d + 1) % ndev) for d in range(ndev)]   # send down ring
     bwd = [(d, (d - 1) % ndev) for d in range(ndev)]   # send up ring
 
     spec = P(axis, None)
 
-    def _extend(a):
-        """(nl, nc) -> (nl + 2H, nc) with periodic ring halos."""
-        if H == 0:
-            return a
-        # my top halo = the H last rows of the device above me
-        top = jax.lax.ppermute(a[-H:], axis, fwd)
-        # my bottom halo = the H first rows of the device below me
-        bot = jax.lax.ppermute(a[:H], axis, bwd)
-        return jnp.concatenate([top, a, bot], axis=0)
-
-    def _local_apply(op_local: StencilOperator, x: Mapping[str, jax.Array]):
-        # Batch all fields' halo exchanges into a single stacked transfer.
-        in_fields = op_local.in_fields
-        stacked = jnp.stack([x[f] for f in in_fields])      # (F, nl, nc)
-        if H > 0:
-            top = jax.lax.ppermute(stacked[:, -H:, :], axis, fwd)
-            bot = jax.lax.ppermute(stacked[:, :H, :], axis, bwd)
-            ext = jnp.concatenate([top, stacked, bot], axis=1)
-        else:
-            ext = stacked
+    def _seg_apply(op_local: StencilOperator, ext, in_fields, nrows, pad,
+                   dtype):
+        """Stencil on an extended stack `ext` of shape (F, nrows + 2*pad, nc):
+        output row r reads ext rows pad + r + dr; columns roll periodically
+        in-row (the column direction is never sharded)."""
         xe = {f: ext[i] for i, f in enumerate(in_fields)}
-
         out = {}
         for of in op_local.out_fields:
             acc = None
@@ -76,14 +73,100 @@ def halo_stencil_apply(op: StencilOperator, mesh: Mesh, axis: str = "x"):
                 if not offmap:
                     continue
                 for (dr, dc), coef in offmap.items():
-                    sl = jax.lax.slice_in_dim(xe[inf], H + dr, H + dr + nl,
+                    sl = jax.lax.slice_in_dim(xe[inf], pad + dr,
+                                              pad + dr + nrows, axis=0)
+                    if dc != 0:
+                        sl = jnp.roll(sl, -dc, axis=1)
+                    contrib = coef * sl   # coef planes are full local bands
+                    acc = contrib if acc is None else acc + contrib
+            out[of] = acc if acc is not None else jnp.zeros((nrows, nc),
+                                                            dtype)
+        return out
+
+    def _local_apply(op_local: StencilOperator, x: Mapping[str, jax.Array]):
+        # Batch all fields' halo exchanges into a single stacked transfer
+        # per ring direction.
+        in_fields = op_local.in_fields
+        stacked = jnp.stack([x[f] for f in in_fields])      # (F, nl, nc)
+        dtype = stacked.dtype
+
+        if H == 0:
+            return _seg_apply(op_local, stacked, in_fields, nl, 0, dtype)
+
+        # issue both ring transfers first; nothing below depends on them
+        # until the boundary segments, so interior compute overlaps the ICI
+        # hop under the latency-hiding scheduler
+        top = jax.lax.ppermute(stacked[:, -H:, :], axis, fwd)
+        bot = jax.lax.ppermute(stacked[:, :H, :], axis, bwd)
+
+        if not overlap:
+            ext = jnp.concatenate([top, stacked, bot], axis=1)
+            return _seg_apply(op_local, ext, in_fields, nl, H, dtype)
+
+        # interior: output rows [H, nl-H) read stacked rows [0, nl) only
+        crop = {of: None for of in op_local.out_fields}
+        interior = _crop_coefs_apply(op_local, _seg_apply, stacked,
+                                     in_fields, nl, H, dtype)
+
+        # boundary segments (each H output rows, needing the remote halos)
+        ext_top = jnp.concatenate([top, stacked[:, :2 * H, :]], axis=1)
+        ext_bot = jnp.concatenate([stacked[:, -2 * H:, :], bot], axis=1)
+        top_out = _boundary_apply(op_local, ext_top, in_fields, H, H, 0,
+                                  dtype, nc)
+        bot_out = _boundary_apply(op_local, ext_bot, in_fields, H, H, nl - H,
+                                  dtype, nc)
+        return {of: jnp.concatenate([top_out[of], interior[of], bot_out[of]],
+                                    axis=0)
+                for of in op_local.out_fields}
+
+    def _crop_coefs_apply(op_local, seg_apply, stacked, in_fields, nl, H,
+                          dtype):
+        """Interior segment: output rows [H, nl-H); coefficient planes are
+        cropped to those rows."""
+        nrows = nl - 2 * H
+        xe = {f: stacked[i] for i, f in enumerate(in_fields)}
+        out = {}
+        for of in op_local.out_fields:
+            acc = None
+            for inf in in_fields:
+                offmap = op_local.terms.get((of, inf))
+                if not offmap:
+                    continue
+                for (dr, dc), coef in offmap.items():
+                    sl = jax.lax.slice_in_dim(xe[inf], H + dr, H + dr + nrows,
                                               axis=0)
                     if dc != 0:
                         sl = jnp.roll(sl, -dc, axis=1)
-                    contrib = coef * sl
+                    c = jax.lax.slice_in_dim(coef, H, nl - H, axis=0)
+                    contrib = c * sl
                     acc = contrib if acc is None else acc + contrib
-            out[of] = acc if acc is not None else jnp.zeros((nl, nc),
-                                                            stacked.dtype)
+            out[of] = acc if acc is not None else jnp.zeros((nrows, nc),
+                                                            dtype)
+        return out
+
+    def _boundary_apply(op_local, ext, in_fields, nrows, pad, row0, dtype,
+                        nc):
+        """Boundary segment: `ext` covers output rows [row0, row0+nrows) with
+        `pad` extra rows each side; coefficient planes are cropped to the
+        segment's global rows."""
+        xe = {f: ext[i] for i, f in enumerate(in_fields)}
+        out = {}
+        for of in op_local.out_fields:
+            acc = None
+            for inf in in_fields:
+                offmap = op_local.terms.get((of, inf))
+                if not offmap:
+                    continue
+                for (dr, dc), coef in offmap.items():
+                    sl = jax.lax.slice_in_dim(xe[inf], pad + dr,
+                                              pad + dr + nrows, axis=0)
+                    if dc != 0:
+                        sl = jnp.roll(sl, -dc, axis=1)
+                    c = jax.lax.slice_in_dim(coef, row0, row0 + nrows, axis=0)
+                    contrib = c * sl
+                    acc = contrib if acc is None else acc + contrib
+            out[of] = acc if acc is not None else jnp.zeros((nrows, nc),
+                                                            dtype)
         return out
 
     shmapped = jax.shard_map(

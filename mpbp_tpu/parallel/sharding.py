@@ -95,12 +95,17 @@ def stacked_matvec(op: StencilOperator,
 
 def sharded_solve(mop: MultiphaseOperator, b_state: dict, mesh: Mesh,
                   tol: float = 1e-8, maxiter: int = 100,
-                  pc: Callable | None = None, axis: str = "x"):
+                  pc: Callable | None = None, axis: str = "x",
+                  orthog: str = "cgs2"):
     """FGMRES on the row-sharded multiphase system.
 
     The returned work runs fully SPMD: stencil applies exchange halos over
     ICI, Arnoldi projections are fused all-reduces, and the Hessenberg/Givens
     scalar work is replicated (it is O(m^2), negligible).
+
+    orthog='cgs1' switches to the pipelined single-reduction Arnoldi
+    (solvers/gmres.py) — preferred when the mesh spans hosts and DCN
+    reduction latency rivals the matvec (BASELINE configs[4]).
     """
     from mpbp_tpu.solvers import gmres as krylov
 
@@ -111,6 +116,7 @@ def sharded_solve(mop: MultiphaseOperator, b_state: dict, mesh: Mesh,
 
     @partial(jax.jit, out_shardings=None)
     def run(bv):
-        return krylov.fgmres(mv, bv, tol=tol, maxiter=maxiter, M=pc)
+        return krylov.fgmres(mv, bv, tol=tol, maxiter=maxiter, M=pc,
+                             orthog=orthog)
 
     return run(b)

@@ -73,8 +73,10 @@ def _vnorm(a):
     return jnp.sqrt(_vdot(a, a))
 
 
-@partial(jax.jit, static_argnames=("matvec", "M", "maxiter", "use_z"))
-def _fgmres_cycle(matvec, b, x0, tol, maxiter: int, M, use_z: bool):
+@partial(jax.jit, static_argnames=("matvec", "M", "maxiter", "use_z",
+                                   "orthog"))
+def _fgmres_cycle(matvec, b, x0, tol, maxiter: int, M, use_z: bool,
+                  orthog: str = "cgs2"):
     """One FGMRES cycle. `b`/`x0` may be ANY array shape (1-D flat vectors or
     stacked grid fields (5, n, n) for the sharded path); the Krylov basis adds
     a leading axis."""
@@ -111,17 +113,51 @@ def _fgmres_cycle(matvec, b, x0, tol, maxiter: int, M, use_z: bool):
         if use_z:
             Z = Z.at[j].set(z)
 
-        # CGS2: rows of V beyond j are zero, so the masked dots vanish.
+        # Rows of V beyond j are zero, so the masked dots vanish.
         # Each projection is one tensordot => one fused all-reduce.
-        wnorm_pre = _vnorm(w)
         vdims = tuple(range(1, V.ndim))
         wdims = tuple(range(w.ndim))
-        h1 = jnp.tensordot(V, w, axes=(vdims, wdims))
-        w = w - jnp.tensordot(h1, V, axes=((0,), (0,)))
-        h2 = jnp.tensordot(V, w, axes=(vdims, wdims))
-        w = w - jnp.tensordot(h2, V, axes=((0,), (0,)))
-        h = h1 + h2
-        wnorm = _vnorm(w)
+        if orthog == "cgs2":
+            # classical Gram-Schmidt + one re-orthogonalization pass:
+            # two reductions per iteration, MGS-grade stability.
+            wnorm_pre = _vnorm(w)
+            h1 = jnp.tensordot(V, w, axes=(vdims, wdims))
+            w = w - jnp.tensordot(h1, V, axes=((0,), (0,)))
+            h2 = jnp.tensordot(V, w, axes=(vdims, wdims))
+            w = w - jnp.tensordot(h2, V, axes=((0,), (0,)))
+            h = h1 + h2
+            wnorm = _vnorm(w)
+        else:  # "cgs1": communication-avoiding / pipelined variant
+            # ONE fused reduction per iteration: [V; w]^T w yields all the
+            # projection coefficients AND ||w||^2 together, and the new
+            # basis norm comes from the Pythagorean identity
+            # ||w - V h||^2 = ||w||^2 - ||h||^2 (Ghysels & Vanroose-style
+            # latency hiding — the TPU analog keeps one psum per iteration).
+            # Stability guard: DGKS selective reorthogonalization — when the
+            # projection removed more than 1/sqrt(2) of w's norm, run one
+            # corrective CGS pass (one extra fused reduction on just those
+            # iterations; with an effective preconditioner most iterations
+            # skip it, so the steady-state cost stays ~1 reduction/iter).
+            def _cgs_pass(w):
+                Vw = jnp.concatenate([V, w[None]], axis=0)
+                dots = jnp.tensordot(Vw, w, axes=(vdims, wdims))
+                hp, ww = dots[:-1], dots[-1]
+                w = w - jnp.tensordot(hp, V, axes=((0,), (0,)))
+                est2 = ww - jnp.sum(hp * hp)
+                return hp, ww, est2, w
+
+            h, ww, est2, w = _cgs_pass(w)
+            wnorm_pre = jnp.sqrt(jnp.maximum(ww, 0.0))
+
+            def _reorth(h, w):
+                h2, _ww2, est2b, w = _cgs_pass(w)
+                return (h + h2, jnp.sqrt(jnp.maximum(est2b, 0.0)), w)
+
+            def _accept(h, w):
+                return (h, jnp.sqrt(jnp.maximum(est2, 0.0)), w)
+
+            h, wnorm, w = jax.lax.cond(est2 < 0.5 * ww, _reorth, _accept,
+                                       h, w)
         # Happy breakdown: A z landed (numerically) inside the current Krylov
         # space. Normalizing the O(eps) remainder would inject a garbage
         # basis vector and silently decouple the residual recurrence from the
@@ -188,19 +224,25 @@ def _fgmres_cycle(matvec, b, x0, tol, maxiter: int, M, use_z: bool):
 
 def fgmres(matvec: Callable, b: jax.Array, x0: jax.Array | None = None,
            tol: float = 1e-8, maxiter: int = 100,
-           M: Callable | None = None, restart: int | None = None
-           ) -> KrylovResult:
+           M: Callable | None = None, restart: int | None = None,
+           orthog: str = "cgs2") -> KrylovResult:
     """Flexible right-preconditioned GMRES.
 
     Matches the reference usage (pyamg fgmres with restrt=None, reference
     solve.py:285): no restarts by default — maxiter is the Krylov dimension.
     Pass `restart` to run restarted cycles (host loop over jitted cycles).
+
+    orthog: 'cgs2' (default; two fused all-reduces per iteration,
+    MGS-grade stability) or 'cgs1' (pipelined/communication-avoiding: ONE
+    fused all-reduce per iteration with a Pythagorean norm estimate —
+    the right choice when the mesh spans hosts and reduction latency rivals
+    the matvec, BASELINE configs[4]).
     """
     if x0 is None:
         x0 = jnp.zeros_like(b)
     M = M if M is not None else _identity
     if restart is None or restart >= maxiter:
-        return _fgmres_cycle(matvec, b, x0, tol, maxiter, M, True)
+        return _fgmres_cycle(matvec, b, x0, tol, maxiter, M, True, orthog)
 
     x = x0
     total_iters = 0
@@ -209,7 +251,7 @@ def fgmres(matvec: Callable, b: jax.Array, x0: jax.Array | None = None,
     remaining = maxiter
     while remaining > 0:
         cycle = min(restart, remaining)
-        result = _fgmres_cycle(matvec, b, x, tol, cycle, M, True)
+        result = _fgmres_cycle(matvec, b, x, tol, cycle, M, True, orthog)
         x = result.x
         it = int(result.iters)
         total_iters += it
@@ -226,23 +268,23 @@ def fgmres(matvec: Callable, b: jax.Array, x0: jax.Array | None = None,
 
 def gmres(matvec: Callable, b: jax.Array, x0: jax.Array | None = None,
           tol: float = 1e-8, maxiter: int = 100,
-          M: Callable | None = None, restart: int | None = None
-          ) -> KrylovResult:
+          M: Callable | None = None, restart: int | None = None,
+          orthog: str = "cgs2") -> KrylovResult:
     """Right-preconditioned GMRES with a *fixed* preconditioner: avoids
     storing the Z basis (halves Krylov memory) by re-applying M once at the
-    solution update."""
+    solution update. See `fgmres` for `orthog`."""
     if x0 is None:
         x0 = jnp.zeros_like(b)
     M = M if M is not None else _identity
     if restart is None or restart >= maxiter:
-        return _fgmres_cycle(matvec, b, x0, tol, maxiter, M, False)
+        return _fgmres_cycle(matvec, b, x0, tol, maxiter, M, False, orthog)
     x = x0
     total_iters = 0
     result = None
     remaining = maxiter
     while remaining > 0:
         cycle = min(restart, remaining)
-        result = _fgmres_cycle(matvec, b, x, tol, cycle, M, False)
+        result = _fgmres_cycle(matvec, b, x, tol, cycle, M, False, orthog)
         x = result.x
         total_iters += int(result.iters)
         remaining -= cycle

@@ -93,3 +93,26 @@ def test_fgmres_jit_compatible(well_conditioned):
     np.testing.assert_allclose(
         np.asarray(run(b)), np.linalg.solve(np.asarray(A), np.asarray(b)),
         rtol=1e-7, atol=1e-9)
+
+
+def test_fgmres_cgs1_pipelined_matches_cgs2(well_conditioned):
+    """Single-reduction (pipelined) orthogonalization converges to the same
+    solution in nearly the same iteration count as CGS2."""
+    A, b = well_conditioned
+    r2 = krylov.fgmres(lambda v: A @ v, b, tol=1e-10, maxiter=80)
+    r1 = krylov.fgmres(lambda v: A @ v, b, tol=1e-10, maxiter=80,
+                       orthog="cgs1")
+    assert bool(r1.converged)
+    assert abs(int(r1.iters) - int(r2.iters)) <= 1
+    x_ref = np.linalg.solve(np.asarray(A), np.asarray(b))
+    np.testing.assert_allclose(np.asarray(r1.x), x_ref, rtol=1e-7, atol=1e-9)
+
+
+def test_fgmres_cgs1_true_residual(well_conditioned):
+    """cgs1's recurrence residual must track the TRUE residual (the norm
+    estimate must not silently decouple)."""
+    A, b = well_conditioned
+    r1 = krylov.fgmres(lambda v: A @ v, b, tol=1e-10, maxiter=80,
+                       orthog="cgs1")
+    true_rel = float(jnp.linalg.norm(b - A @ r1.x) / jnp.linalg.norm(b))
+    assert true_rel < 1e-8, true_rel

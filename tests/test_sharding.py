@@ -40,11 +40,12 @@ def test_auto_spmd_matvec_matches_unsharded(problem16, mesh8):
     assert len(got.sharding.device_set) == 8
 
 
-def test_halo_apply_matches_roll_apply(problem16, mesh8):
+@pytest.mark.parametrize("overlap", [False, True])
+def test_halo_apply_matches_roll_apply(problem16, mesh8, overlap):
     op, u, b = problem16
     expect = op.A.apply(u)
     with jax.set_mesh(mesh8) if hasattr(jax, "set_mesh") else _null():
-        apply = halo_mod.halo_stencil_apply(op.A, mesh8)
+        apply = halo_mod.halo_stencil_apply(op.A, mesh8, overlap=overlap)
         got = apply(u)
     for f in ALL_FIELDS:
         np.testing.assert_allclose(np.asarray(got[f]), np.asarray(expect[f]),
@@ -59,8 +60,11 @@ class _null:
         return False
 
 
-def test_halo_apply_composed_operator(mesh8):
-    """GtFG has |dr| up to 3 — exercises multi-row halos."""
+@pytest.mark.parametrize("overlap", [False, True])
+def test_halo_apply_composed_operator(mesh8, overlap):
+    """GtFG has |dr| up to 3 — exercises multi-row halos; with 16 rows over
+    8 devices the local band is 2 rows < 2H, so the overlapped path also
+    exercises its fall-back-to-monolithic branch."""
     from mpbp_tpu.solvers.preconditioners import lsc_products
     op = make_multiphase_operator(16)
     GtG, GtFG = lsc_products(op)
@@ -68,9 +72,26 @@ def test_halo_apply_composed_operator(mesh8):
     rng = np.random.default_rng(0)
     x = {"p": jnp.asarray(rng.normal(size=(16, 16)))}
     expect = GtFG.apply(x)["p"]
-    got = halo_mod.halo_stencil_apply(GtFG, mesh8)(x)["p"]
+    got = halo_mod.halo_stencil_apply(GtFG, mesh8, overlap=overlap)(x)["p"]
     np.testing.assert_allclose(np.asarray(got), np.asarray(expect),
                                rtol=1e-12, atol=1e-12)
+
+
+@pytest.mark.parametrize("ndev", [4])
+def test_halo_overlap_interior_boundary_split(ndev):
+    """Overlapped path with a genuine interior segment (nl=8 > 2H) on a
+    4-device submesh, H from the coupled operator (H=1) and random input."""
+    from jax.sharding import Mesh
+    op = make_multiphase_operator(32, eta_n=100.0, eta_s=1.0)
+    devs = jax.devices()[:ndev]
+    mesh = Mesh(np.array(devs), axis_names=("x",))
+    rng = np.random.default_rng(1)
+    x = {f: jnp.asarray(rng.normal(size=(32, 32))) for f in ALL_FIELDS}
+    expect = op.A.apply(x)
+    got = halo_mod.halo_stencil_apply(op.A, mesh, overlap=True)(x)
+    for f in ALL_FIELDS:
+        np.testing.assert_allclose(np.asarray(got[f]), np.asarray(expect[f]),
+                                   rtol=1e-12, atol=1e-12)
 
 
 def test_sharded_fgmres_matches_unsharded(problem16, mesh8):
@@ -128,3 +149,14 @@ def test_sharded_reduction_deterministic(problem16, mesh8):
     d2, w2 = f(v)
     assert float(d1) == float(d2)
     np.testing.assert_array_equal(np.asarray(w1), np.asarray(w2))
+
+
+def test_sharded_solve_cgs1_pipelined(problem16, mesh8):
+    """Pipelined single-reduction Arnoldi on the 8-device mesh matches the
+    CGS2 iteration count (BASELINE configs[4] communication regime)."""
+    op, u, b = problem16
+    r1 = sh.sharded_solve(op, b, mesh8, tol=1e-8, maxiter=60, orthog="cgs1")
+    r2 = sh.sharded_solve(op, b, mesh8, tol=1e-8, maxiter=60)
+    assert abs(int(r1.iters) - int(r2.iters)) <= 2
+    np.testing.assert_allclose(np.asarray(r1.x), np.asarray(r2.x),
+                               rtol=1e-6, atol=1e-8)
