@@ -1,0 +1,118 @@
+"""End-to-end TPU time-to-solve benchmark: the BASELINE.json north-star
+workflow (512^2 variable-coefficient multiphase Stokes to 1e-8) on one chip.
+
+Strategy (SURVEY.md section 7 design stance): all hot work — the fused
+operator apply, the matrix-free full-multigrid LSC preconditioner, the FGMRES
+inner cycles — runs in f32 (TPU-native speed); the 1e-8 target is reached by
+mixed-precision iterative refinement whose per-outer-step f64 residual matvec
+is the only (XLA-emulated) f64 work on device.
+
+Usage:
+  python benchmarks/solve_tpu.py [--n 512] [--tol 1e-8] [--pc lsc_mg_full]
+Prints one JSON line per run with iters/time/error norms.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+
+def log(*a):
+    print(*a, file=sys.stderr, flush=True)
+
+
+def main(argv=None):
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--n", type=int, default=512)
+    ap.add_argument("--tol", type=float, default=1e-8)
+    ap.add_argument("--pc", default="lsc_mg_full")
+    ap.add_argument("--inner-tol", type=float, default=1e-6)
+    ap.add_argument("--inner-maxiter", type=int, default=40)
+    ap.add_argument("--max-outer", type=int, default=5)
+    ap.add_argument("--eta-n", type=float, default=100.0)
+    ap.add_argument("--eta-s", type=float, default=1.0)
+    args = ap.parse_args(argv)
+
+    import jax
+
+    jax.config.update("jax_enable_x64", True)
+    cache = os.path.join(os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))), ".jax_cache_tpu")
+    jax.config.update("jax_compilation_cache_dir", cache)
+    jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0)
+
+    import jax.numpy as jnp
+
+    from mpbp_tpu.drivers import a_matvec, make_preconditioner, pack_fields
+    from mpbp_tpu.models import mms
+    from mpbp_tpu.models.multiphase import make_multiphase_operator
+    from mpbp_tpu.solvers.mixed import block_scales, fgmres_ir
+    from mpbp_tpu.utils.norms import norms_report
+
+    n = args.n
+    log(f"solve_tpu: device={jax.devices()[0]}, n={n}, pc={args.pc}")
+
+    t0 = time.time()
+    op32 = make_multiphase_operator(n, c=1.0, d=-1.0, xi=1.0,
+                                    eta_n=args.eta_n, eta_s=args.eta_s,
+                                    dtype=jnp.float32)
+    op64 = make_multiphase_operator(n, c=1.0, d=-1.0, xi=1.0,
+                                    eta_n=args.eta_n, eta_s=args.eta_s,
+                                    dtype=jnp.float64)
+    prob = mms.variable_thn_problem(1.0, -1.0, 1.0, args.eta_n, args.eta_s)
+    u_exact, b = mms.fill_sol_and_rhs(op64.grid, prob)
+    b64 = pack_fields(op64, b)
+    u64 = pack_fields(op64, u_exact)
+    t_setup = time.time() - t0
+    log(f"assembly+MMS: {t_setup:.2f}s")
+
+    t0 = time.time()
+    M32 = make_preconditioner(op32, args.pc, dtype=jnp.float32,
+                              inner_tol=1e-4, inner_iters=40)
+    mv32 = a_matvec(op32)
+    mv64 = a_matvec(op64)
+    t_pc = time.time() - t0
+    log(f"preconditioner setup: {t_pc:.2f}s")
+
+    scale = block_scales(op64)
+
+    def run():
+        t0 = time.time()
+        res = fgmres_ir(mv64, mv32, b64, tol=args.tol,
+                        max_outer=args.max_outer,
+                        inner_tol=args.inner_tol,
+                        inner_maxiter=args.inner_maxiter, M32=M32,
+                        scale=scale)
+        # fgmres_ir fetches the f64 relres scalar every outer step, so the
+        # wall time is host-synchronized (block_until_ready is NOT trusted
+        # under the remote-device relay — see bench.py).
+        return res, time.time() - t0
+
+    res, t_first = run()          # includes compile
+    log(f"first solve (compile+run): {t_first:.2f}s -> relres {res.relres:.2e}")
+    res, t_solve = run()          # warm
+    err = norms_report(res.x.astype(jnp.float64), u64,
+                       op64.grid.dx, op64.grid.dy)
+
+    print(json.dumps({
+        "metric": "time_to_solve_multiphase",
+        "n": n,
+        "pc": args.pc,
+        "tol": args.tol,
+        "outer_iters": res.outer_iters,
+        "inner_iters": res.total_inner_iters,
+        "relres": res.relres,
+        "converged": bool(res.converged),
+        "solve_s": round(t_solve, 3),
+        "error_l2": err["l2"],
+    }))
+    return res
+
+
+if __name__ == "__main__":
+    main()

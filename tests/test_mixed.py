@@ -50,3 +50,30 @@ def test_ir_single_precision_alone_insufficient():
                     inner_tol=1e-6, inner_maxiter=150, M32=M32)
     assert not res.converged
     assert res.relres > 1e-8
+
+
+def test_ir_equilibrated_converges_at_n64():
+    """At n>=64 the raw inter-block scaling (~eta/dx^2 momentum vs ~n
+    divergence rows) stalls plain f32 IR; block equilibration restores the
+    contraction and reaches 1e-8 (solvers/mixed.py block_scales)."""
+    from mpbp_tpu.solvers.mixed import block_scales
+
+    n = 64
+    op64 = make_multiphase_operator(n, eta_n=100.0, dtype=jnp.float64)
+    op32 = make_multiphase_operator(n, eta_n=100.0, dtype=jnp.float32)
+    prob = mms.variable_thn_problem(1, -1, 1.0, 100.0, 1.0)
+    _, b = mms.fill_sol_and_rhs(op64.grid, prob)
+    b_vec = pack_fields(op64, b)
+    mv64 = a_matvec(op64)
+    mv32 = a_matvec(op32)
+    M32 = make_preconditioner(op32, "lsc_mg_full", dtype=jnp.float32,
+                              inner_tol=1e-4, inner_iters=40)
+
+    plain = fgmres_ir(mv64, mv32, b_vec, tol=1e-8, max_outer=3,
+                      inner_tol=1e-6, inner_maxiter=40, M32=M32)
+    scaled = fgmres_ir(mv64, mv32, b_vec, tol=1e-8, max_outer=5,
+                       inner_tol=1e-6, inner_maxiter=40, M32=M32,
+                       scale=block_scales(op64))
+    assert scaled.converged, (scaled.relres, scaled.history)
+    assert scaled.relres < 1e-8
+    assert scaled.relres < plain.relres * 1e-2  # equilibration load-bearing
