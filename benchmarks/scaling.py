@@ -46,32 +46,36 @@ def run_config(n: int, n_devices: int, dtype_str: str, maxiter: int):
         {k: v.astype(dtype) for k, v in b.items()}), vsh)
 
     mv = jax.jit(make_fused_apply(sop))
-    mv(bv).block_until_ready()
 
-    # matvec throughput
-    k = 30
+    # matvec throughput: marginal time between two chained iteration counts,
+    # synchronized by a scalar fetch (block_until_ready is not trusted under
+    # the remote-device relay — see bench.py).
     @jax.jit
-    def chain(v):
+    def chain(v, k):
         def body(_, x):
             return mv(x) * (1.0 / jnp.asarray(n, dtype))
         return jax.lax.fori_loop(0, k, body, v)
 
-    chain(bv).block_until_ready()
-    t0 = time.perf_counter()
-    reps = 3
-    for _ in range(reps):
-        w = chain(bv)
-    jax.block_until_ready(w)
-    dt = (time.perf_counter() - t0) / (reps * k)
+    def run_chain(k):
+        t0 = time.perf_counter()
+        float(jnp.sum(chain(bv, k)))
+        return time.perf_counter() - t0
 
-    # FGMRES (no PC, fixed iteration count) time per iteration
+    run_chain(5)
+    run_chain(5)     # warm/compile
+    t_lo = min(run_chain(30) for _ in range(3))
+    t_hi = min(run_chain(120) for _ in range(3))
+    dt = (t_hi - t_lo) / 90.0
+
+    # FGMRES (no PC, fixed iteration count) time per iteration; fgmres
+    # returns host scalars so this is naturally synchronized
     from mpbp_tpu.solvers import gmres as krylov
 
     res = krylov.fgmres(mv, bv, tol=0.0, maxiter=maxiter)
-    jax.block_until_ready(res.x)
+    float(jnp.sum(res.x))
     t0 = time.perf_counter()
     res = krylov.fgmres(mv, bv, tol=0.0, maxiter=maxiter)
-    jax.block_until_ready(res.x)
+    float(jnp.sum(res.x))
     t_solve = time.perf_counter() - t0
 
     return {

@@ -166,6 +166,16 @@ def _sorted_real_schur(Hm: np.ndarray, p: int):
     return T, Q, p_eff
 
 
+def exact_eigenvalues(op) -> np.ndarray:
+    """Exact (dense, full) spectrum of a StencilOperator — the capability of
+    the reference's sympy exact-eigenvalue variant (reference solve.py:86-101,
+    `print_ev_from_sympy`), for small grids where a dense eigendecomposition
+    is affordable. Returns all eigenvalues sorted by |.| descending."""
+    A = op.to_csr().to_dense()
+    ev = np.linalg.eigvals(np.asarray(A))
+    return ev[np.argsort(-np.abs(ev))]
+
+
 def preconditioned_spectrum(a_matvec: Callable, pc: Callable,
                             example: jax.Array, k: int = 10,
                             **kw) -> EigResult:

@@ -90,3 +90,22 @@ def test_lsc_pc_clusters_spectrum():
     assert np.max(np.abs(ref)) > 100
     frac_near_one = np.mean(np.abs(ev - 1.0) < 0.5)
     assert frac_near_one > 0.75, frac_near_one
+
+
+def test_exact_eigenvalues_matches_arnoldi():
+    """Dense full-spectrum helper (reference solve.py:86-101 analog) agrees
+    with the matrix-free Arnoldi on the dominant eigenvalues."""
+    from mpbp_tpu.solvers.eigen import eigs, exact_eigenvalues
+    op = make_multiphase_operator(8)
+    full = exact_eigenvalues(op.A)
+    mv = a_matvec(op)
+    ex = jnp.zeros(5 * 8 * 8, jnp.float64)
+    res = eigs(mv, ex, k=4, tol=1e-6, maxiter=60)
+    assert res.n_converged >= 2
+    # single-vector Arnoldi may find one member of a multiple eigenvalue, so
+    # assert each converged Ritz value matches SOME exact eigenvalue (and the
+    # top magnitude agrees), not positional equality.
+    for ev in res.eigenvalues[: res.n_converged]:
+        assert np.min(np.abs(full - ev)) < 1e-3 * np.abs(ev)
+    np.testing.assert_allclose(np.max(np.abs(res.eigenvalues)),
+                               np.max(np.abs(full)), rtol=1e-5)
