@@ -35,6 +35,17 @@ def main(argv=None):
     ap.add_argument("--max-outer", type=int, default=5)
     ap.add_argument("--eta-n", type=float, default=100.0)
     ap.add_argument("--eta-s", type=float, default=1.0)
+    ap.add_argument("--mode", choices=["ir", "f64", "hybrid"], default="ir",
+                    help="ir: f32 inner solves + f64 residual refinement "
+                         "(fastest; stalls when kappa*eps_f32 ~ 1, i.e. "
+                         "n >= ~512 at viscosity contrast 100). f64: whole "
+                         "solve in XLA-emulated f64 (~5.6x the f32 matvec "
+                         "cost, measured) — the certified path for the "
+                         "north-star tolerance at large n. hybrid: f64 "
+                         "outer FGMRES (matvec + Arnoldi) with the MG/LSC "
+                         "preconditioner applied in f32 — flexible GMRES "
+                         "tolerates the inexact PC, so ~all PC work runs at "
+                         "f32 speed while convergence is certified in f64.")
     args = ap.parse_args(argv)
 
     import jax
@@ -71,43 +82,82 @@ def main(argv=None):
     t_setup = time.time() - t0
     log(f"assembly+MMS: {t_setup:.2f}s")
 
-    t0 = time.time()
-    M32 = make_preconditioner(op32, args.pc, dtype=jnp.float32,
-                              inner_tol=1e-4, inner_iters=40)
-    mv32 = a_matvec(op32)
     mv64 = a_matvec(op64)
-    t_pc = time.time() - t0
-    log(f"preconditioner setup: {t_pc:.2f}s")
 
-    scale = block_scales(op64)
-
-    def run():
+    if args.mode in ("f64", "hybrid"):
         t0 = time.time()
-        res = fgmres_ir(mv64, mv32, b64, tol=args.tol,
-                        max_outer=args.max_outer,
-                        inner_tol=args.inner_tol,
-                        inner_maxiter=args.inner_maxiter, M32=M32,
-                        scale=scale)
-        # fgmres_ir fetches the f64 relres scalar every outer step, so the
-        # wall time is host-synchronized (block_until_ready is NOT trusted
-        # under the remote-device relay — see bench.py).
-        return res, time.time() - t0
+        if args.mode == "f64":
+            M = make_preconditioner(op64, args.pc, dtype=jnp.float64,
+                                    inner_tol=1e-4, inner_iters=40)
+        else:
+            M32 = make_preconditioner(op32, args.pc, dtype=jnp.float32,
+                                      inner_tol=1e-4, inner_iters=40)
+            # flexible GMRES: the PC may be any (varying) operator, so
+            # casting through f32 only weakens the PC slightly — the f64
+            # outer Arnoldi still certifies the 1e-8 residual.
+            M = lambda v: M32(v.astype(jnp.float32)).astype(jnp.float64)  # noqa: E731
+        t_pc = time.time() - t0
+        log(f"preconditioner setup: {t_pc:.2f}s")
 
-    res, t_first = run()          # includes compile
-    log(f"first solve (compile+run): {t_first:.2f}s -> relres {res.relres:.2e}")
-    res, t_solve = run()          # warm
-    err = norms_report(res.x.astype(jnp.float64), u64,
+        from mpbp_tpu.solvers import gmres as krylov
+
+        def run():
+            t0 = time.time()
+            res = krylov.fgmres(mv64, b64, tol=args.tol,
+                                maxiter=8 * args.max_outer, M=M)
+            relres = float(jnp.linalg.norm(b64 - mv64(res.x))
+                           / jnp.linalg.norm(b64))   # fetch = device sync
+            return res, relres, time.time() - t0
+
+        res, relres, t_first = run()
+        log(f"first solve (compile+run): {t_first:.2f}s "
+            f"-> relres {relres:.2e}")
+        res, relres, t_solve = run()
+        outer, inner = int(res.iters), int(res.iters)
+        converged = bool(res.converged) and relres < args.tol * 10
+        x = res.x
+    else:
+        t0 = time.time()
+        M32 = make_preconditioner(op32, args.pc, dtype=jnp.float32,
+                                  inner_tol=1e-4, inner_iters=40)
+        mv32 = a_matvec(op32)
+        t_pc = time.time() - t0
+        log(f"preconditioner setup: {t_pc:.2f}s")
+
+        scale = block_scales(op64)
+
+        def run():
+            t0 = time.time()
+            res = fgmres_ir(mv64, mv32, b64, tol=args.tol,
+                            max_outer=args.max_outer,
+                            inner_tol=args.inner_tol,
+                            inner_maxiter=args.inner_maxiter, M32=M32,
+                            scale=scale)
+            # fgmres_ir fetches the f64 relres scalar every outer step, so
+            # the wall time is host-synchronized (block_until_ready is NOT
+            # trusted under the remote-device relay — see bench.py).
+            return res, time.time() - t0
+
+        res, t_first = run()          # includes compile
+        log(f"first solve (compile+run): {t_first:.2f}s "
+            f"-> relres {res.relres:.2e}")
+        res, t_solve = run()          # warm
+        outer, inner = res.outer_iters, res.total_inner_iters
+        relres, converged, x = res.relres, bool(res.converged), res.x
+
+    err = norms_report(x.astype(jnp.float64), u64,
                        op64.grid.dx, op64.grid.dy)
 
     print(json.dumps({
         "metric": "time_to_solve_multiphase",
         "n": n,
         "pc": args.pc,
+        "mode": args.mode,
         "tol": args.tol,
-        "outer_iters": res.outer_iters,
-        "inner_iters": res.total_inner_iters,
-        "relres": res.relres,
-        "converged": bool(res.converged),
+        "outer_iters": outer,
+        "inner_iters": inner,
+        "relres": relres,
+        "converged": converged,
         "solve_s": round(t_solve, 3),
         "error_l2": err["l2"],
     }))
