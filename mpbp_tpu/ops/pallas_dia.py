@@ -1,0 +1,128 @@
+"""Pallas TPU SpMV kernel for the DIA (diagonal-offset) sparse format.
+
+This is the *general-matrix* Pallas SpMV the framework pairs with the
+hand-fused multiphase apply (ops/pallas_stencil.py): any matrix whose
+nonzeros live on O(1) diagonals — A, F, GtG, GtFG, banded factors
+(reference solve.py:246-254 builds exactly such matrices) — runs through
+one gather-free kernel. Gathers are the reason generic CSR SpMV is hostile
+to TPUs; by diagonal the access pattern becomes *static flat shifts*, which
+decompose into a sublane (row) shift plus an in-lane roll — pure VPU work
+at streaming bandwidth.
+
+Layout: x is viewed as an (R, 128) row-major matrix, R = N/128. A flat
+circular shift by `off` (off = 128*r + c, both static per diagonal) is
+
+    y[p, q] = x[(p + r + (q + c >= 128)) mod R, (q + c) mod 128]
+
+The kernel keeps x VMEM-resident *doubled* (x2 = concat(x, x)) so the row
+window for any (program, diagonal) pair is one contiguous dynamic slice —
+no modular or predicated source indices, which this toolchain's Mosaic
+compiler rejects for DMA (see ops/pallas_stencil.py docstring). The
+diagonal payload (K, R, 128) — the dominant HBM traffic — streams through
+BlockSpec pipelining one row-stripe per grid program.
+
+Traffic: K*N reads (data) + 2N (x2, once) + N writes; for K diagonals the
+kernel approaches the data-streaming roofline nnz/s = HBM_BW / 4 bytes.
+
+VMEM budget: 8*N bytes (x2, f32) + K*TR*512 (data stripe) — the kernel is
+for N up to ~1.4M f32 (the 512^2 multiphase system is N = 1.31M); larger
+systems fall back to the XLA roll path (DIAMatrix.matvec).
+"""
+
+from __future__ import annotations
+
+from typing import Callable
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from mpbp_tpu.ops.dia import DIAMatrix
+
+_LANES = 128
+_VMEM_BYTES = 100 * 2 ** 20  # interpret-mode/CPU has no real limit; TPU
+#                              sizing is checked by dia_spmv_supported()
+
+
+def dia_spmv_supported(A: DIAMatrix, dtype=jnp.float32,
+                       vmem_budget: int = 14 * 2 ** 20) -> bool:
+    """True when the Pallas path can run A on a real TPU core."""
+    nrows, ncols = A.shape
+    if nrows != ncols or nrows % _LANES:
+        return False
+    if dtype not in (jnp.float32, jnp.dtype(jnp.float32)):
+        return False
+    # x2 must fit VMEM next to one data stripe and the out stripe
+    return 2 * nrows * 4 <= vmem_budget - 2 ** 20
+
+
+def dia_spmv_pallas(A: DIAMatrix, block_rows: int = 128,
+                    interpret: bool = False) -> Callable:
+    """Build `mv(x) -> A @ x` as a single Pallas kernel.
+
+    Requires a square matrix with N % 128 == 0 (use dia_spmv_supported).
+    Offsets are interpreted periodically: y[i] = sum_k d[k,i]*x[(i+off_k)%N],
+    matching DIAMatrix.matvec on square shapes.
+    """
+    N, ncols = A.shape
+    assert N == ncols and N % _LANES == 0, A.shape
+    R = N // _LANES
+    K = len(A.offsets)
+    dtype = A.data.dtype
+
+    TR = min(block_rows, R)
+    while R % TR:
+        TR //= 2
+    TR = max(TR, 1)
+    n_blocks = R // TR
+
+    # static per-diagonal decomposition off = 128*r + c, normalized to [0, N)
+    offs = [int(o) % N for o in A.offsets]
+    rs = [o // _LANES for o in offs]
+    cs = [o % _LANES for o in offs]
+
+    data3 = A.data.reshape(K, R, _LANES)
+
+    def kernel(x2_ref, d_ref, out_ref):
+        t0 = pl.program_id(0) * TR
+        col_ids = jax.lax.broadcasted_iota(jnp.int32, (TR, _LANES), 1)
+        acc = jnp.zeros((TR, _LANES), dtype)
+        for k in range(K):
+            r, c = rs[k], cs[k]
+            win = x2_ref[pl.ds(t0 + r, TR + 1), :]       # (TR+1, 128)
+            if c == 0:
+                y = win[:TR, :]
+            else:
+                arot = jnp.roll(win[:TR, :], -c, axis=1)
+                brot = jnp.roll(win[1:TR + 1, :], -c, axis=1)
+                y = jnp.where(col_ids < _LANES - c, arot, brot)
+            acc = acc + d_ref[k, :, :] * y
+        out_ref[:, :] = acc
+
+    call = pl.pallas_call(
+        kernel,
+        grid=(n_blocks,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.VMEM),          # x2 (2R, 128)
+            pl.BlockSpec((K, TR, _LANES), lambda i: (0, i, 0),
+                         memory_space=pltpu.VMEM),          # data stripe
+        ],
+        out_specs=pl.BlockSpec((TR, _LANES), lambda i: (i, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((R, _LANES), dtype),
+        interpret=interpret,
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=_VMEM_BYTES),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * K * N, transcendentals=0,
+            bytes_accessed=(K + 3) * N * np.dtype(np.float32).itemsize),
+    )
+
+    def mv(x: jax.Array) -> jax.Array:
+        xr = x.reshape(R, _LANES)
+        x2 = jnp.concatenate([xr, xr], axis=0)
+        return call(x2, data3).reshape(N)
+
+    return mv
