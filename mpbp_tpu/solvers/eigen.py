@@ -23,6 +23,8 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from mpbp_tpu.solvers.gmres import _tdot
+
 
 @dataclasses.dataclass
 class EigResult:
@@ -50,10 +52,10 @@ def _arnoldi_extend(matvec, V, H, start, m):
         # CGS2 against all previous vectors (rows > j are zero).
         vdims = tuple(range(1, V.ndim))
         wdims = tuple(range(w.ndim))
-        h1 = jnp.tensordot(V, w, axes=(vdims, wdims))
-        w = w - jnp.tensordot(h1, V, axes=((0,), (0,)))
-        h2 = jnp.tensordot(V, w, axes=(vdims, wdims))
-        w = w - jnp.tensordot(h2, V, axes=((0,), (0,)))
+        h1 = _tdot(V, w, (vdims, wdims))
+        w = w - _tdot(h1, V, ((0,), (0,)))
+        h2 = _tdot(V, w, (vdims, wdims))
+        w = w - _tdot(h2, V, ((0,), (0,)))
         h = np.asarray(h1 + h2)
         beta = float(jnp.sqrt(jnp.sum(w * w)))
         H[: j + 1, j] = h[: j + 1]
@@ -112,7 +114,7 @@ def eigs(matvec: Callable, example: jax.Array, k: int = 10,
             # fallback: explicit restart with a combination of wanted Ritz
             # vectors (slower convergence, always available)
             comb = np.real(evecs[:, :k] @ np.ones(min(k, evecs.shape[1])))
-            vr = jnp.tensordot(jnp.asarray(comb, dtype), V[:m],
+            vr = _tdot(jnp.asarray(comb, dtype), V[:m],
                                axes=((0,), (0,)))
             vr = vr / jnp.sqrt(jnp.sum(vr * vr))
             V = jnp.zeros_like(V).at[0].set(vr)
@@ -120,7 +122,7 @@ def eigs(matvec: Callable, example: jax.Array, k: int = 10,
             start = 0
             continue
         T, Q, p = out
-        Vk = jnp.tensordot(jnp.asarray(Q[:, :p].T.copy(), dtype), V[:m],
+        Vk = _tdot(jnp.asarray(Q[:, :p].T.copy(), dtype), V[:m],
                            axes=((1,), (0,)))
         Vnew = jnp.zeros_like(V)
         Vnew = Vnew.at[:p].set(Vk)

@@ -63,6 +63,15 @@ def _identity(v):
     return v
 
 
+def _tdot(a, b, axes):
+    """tensordot at HIGHEST precision. On TPU the default matmul precision
+    multiplies in bf16 (~3 decimal digits) — fatal for Gram-Schmidt on
+    ill-conditioned systems (measured: the 512^2 stiff solve stalls at
+    relres ~2e-2 with default-precision projections). These GEMVs are
+    HBM-bound (streaming V), so exact-f32 multiplies cost ~nothing."""
+    return jnp.tensordot(a, b, axes=axes, precision=jax.lax.Precision.HIGHEST)
+
+
 def _vdot(a, b):
     """Inner product over all axes — on sharded operands this is a local
     partial sum + one all-reduce (the fused Arnoldi reduction)."""
@@ -121,10 +130,10 @@ def _fgmres_cycle(matvec, b, x0, tol, maxiter: int, M, use_z: bool,
             # classical Gram-Schmidt + one re-orthogonalization pass:
             # two reductions per iteration, MGS-grade stability.
             wnorm_pre = _vnorm(w)
-            h1 = jnp.tensordot(V, w, axes=(vdims, wdims))
-            w = w - jnp.tensordot(h1, V, axes=((0,), (0,)))
-            h2 = jnp.tensordot(V, w, axes=(vdims, wdims))
-            w = w - jnp.tensordot(h2, V, axes=((0,), (0,)))
+            h1 = _tdot(V, w, (vdims, wdims))
+            w = w - _tdot(h1, V, ((0,), (0,)))
+            h2 = _tdot(V, w, (vdims, wdims))
+            w = w - _tdot(h2, V, ((0,), (0,)))
             h = h1 + h2
             wnorm = _vnorm(w)
         else:  # "cgs1": communication-avoiding / pipelined variant
@@ -140,9 +149,9 @@ def _fgmres_cycle(matvec, b, x0, tol, maxiter: int, M, use_z: bool,
             # skip it, so the steady-state cost stays ~1 reduction/iter).
             def _cgs_pass(w):
                 Vw = jnp.concatenate([V, w[None]], axis=0)
-                dots = jnp.tensordot(Vw, w, axes=(vdims, wdims))
+                dots = _tdot(Vw, w, (vdims, wdims))
                 hp, ww = dots[:-1], dots[-1]
-                w = w - jnp.tensordot(hp, V, axes=((0,), (0,)))
+                w = w - _tdot(hp, V, ((0,), (0,)))
                 est2 = ww - jnp.sum(hp * hp)
                 return hp, ww, est2, w
 
@@ -214,9 +223,9 @@ def _fgmres_cycle(matvec, b, x0, tol, maxiter: int, M, use_z: bool,
     y = jnp.where(valid, y, 0.0)
 
     if use_z:
-        dx = jnp.tensordot(y, Z, axes=((0,), (0,)))
+        dx = _tdot(y, Z, ((0,), (0,)))
     else:
-        dx = M(jnp.tensordot(y, V[:m], axes=((0,), (0,))))
+        dx = M(_tdot(y, V[:m], ((0,), (0,))))
     x = x0 + dx
     res_final = jnp.where(j > 0, jnp.abs(g[jnp.minimum(j, m)]), beta)
     return KrylovResult(x, j, res_final / safe_bnorm, hist, done)

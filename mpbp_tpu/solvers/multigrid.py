@@ -36,6 +36,14 @@ from mpbp_tpu.models.multiphase import (MultiphaseOperator,
 from mpbp_tpu.ops.stencil import StencilOperator, shift
 
 
+
+def _hi_mv(A, v):
+    """Dense coarse-level solve apply at HIGHEST precision: TPU's default
+    matmul precision (bf16 multiplies) corrupts the coarse correction, which
+    multigrid then propagates to every level."""
+    return jnp.matmul(A, v, precision=jax.lax.Precision.HIGHEST)
+
+
 def _phase_fields_from_cell(grid: MACGrid, T: jax.Array) -> PhaseFields:
     """PhaseFields from an explicit cell-centered theta plane (coarse
     levels have no closed-form theta). Pointwise face values are replaced by
@@ -118,7 +126,7 @@ def v_cycle(levels: list[MGLevel], b: jax.Array, x: jax.Array,
     level = levels[lev]
     if level.coarse_pinv is not None:
         n = level.n
-        return (level.coarse_pinv @ b.ravel()).reshape(n, n)
+        return _hi_mv(level.coarse_pinv, b.ravel()).reshape(n, n)
     x = _smooth(level, b, x, pre, damping)
     r = b - level.op.apply({"p": x})["p"]
     rc = restrict_cell(r)
@@ -266,7 +274,7 @@ def vel_v_cycle(levels: list[VelLevel], b: dict, x: dict, lev: int = 0,
     if level.coarse_pinv is not None:
         n = level.n
         bv = jnp.concatenate([b[f].ravel() for f in _VEL])
-        xv = level.coarse_pinv @ bv
+        xv = _hi_mv(level.coarse_pinv, bv)
         n2 = n * n
         return {f: xv[i * n2:(i + 1) * n2].reshape(n, n)
                 for i, f in enumerate(_VEL)}

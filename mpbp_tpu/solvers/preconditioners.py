@@ -168,7 +168,7 @@ class DenseInner:
         return cls(jnp.asarray(inv))
 
     def __call__(self, v: jax.Array) -> jax.Array:
-        return self.inv @ v
+        return jnp.matmul(self.inv, v, precision=jax.lax.Precision.HIGHEST)
 
 
 # ---------------------------------------------------------------------------
@@ -232,12 +232,12 @@ def make_exact_schur_pc(op: MultiphaseOperator, inner_tol: float = 1e-5,
     Dj = jnp.asarray(D)
 
     def s_matvec(x):
-        return Sj @ x
+        return jnp.matmul(Sj, x, precision=jax.lax.Precision.HIGHEST)
 
     def apply(v):
         vu, vp = split_uv_p(op, v)
-        u_hat = Fi @ vu
-        rhs = Dj @ u_hat + vp
+        u_hat = jnp.matmul(Fi, vu, precision=jax.lax.Precision.HIGHEST)
+        rhs = jnp.matmul(Dj, u_hat, precision=jax.lax.Precision.HIGHEST) + vp
         if project_nullspace:
             rhs = rhs - jnp.mean(rhs)
         # inner GMRES on S (reference solve.py:221 'Using GMRES here gives
@@ -247,7 +247,7 @@ def make_exact_schur_pc(op: MultiphaseOperator, inner_tol: float = 1e-5,
                             maxiter=inner_maxiter).x
         if project_nullspace:
             x_p = x_p - jnp.mean(x_p)
-        u = u_hat - Fi @ (Gj @ x_p)
+        u = u_hat - jnp.matmul(Fi, jnp.matmul(Gj, x_p, precision=jax.lax.Precision.HIGHEST), precision=jax.lax.Precision.HIGHEST)
         return jnp.concatenate([u, x_p])
 
     return apply
