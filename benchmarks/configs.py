@@ -1,0 +1,173 @@
+"""Run the five BASELINE.json benchmark configs end to end.
+
+Prints one JSON line per config: {config, n, pc, iters, relres, converged,
+solve_s, ...}. Usable on CPU (functional validation; pass --small to shrink
+grids) or on the TPU chip (perf). configs[3]-[4] exercise the sharded code
+path over whatever devices are visible (a real slice, or the virtual CPU
+mesh under XLA_FLAGS=--xla_force_host_platform_device_count=8).
+
+  0. 64^2 constant-coefficient Stokes, FGMRES + block-diagonal PC
+  1. variable-viscosity Stokes, block lower-triangular PC w/ mass Schur
+  2. 256^2 multiphase, approximate-commutator (LSC) Schur via SpGEMM
+  3. 512^2 multiphase, sharded, matrix-free MG-LSC inner solves
+  4. 1024^2+ multiphase row-partitioned across the mesh, halo-overlap SpMV
+
+Reference never published numbers (SURVEY.md section 6); iteration counts
+are checked against the measured CPU baselines in BASELINE.md instead.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+import time
+
+
+def log(*a):
+    print(*a, file=sys.stderr, flush=True)
+
+
+def _emit(d):
+    print(json.dumps(d), flush=True)
+
+
+def config0(small):
+    import jax.numpy as jnp
+    from mpbp_tpu.models.stokes import make_stokes_operator, stokes_mms
+    from mpbp_tpu.solvers import gmres as krylov
+    from mpbp_tpu.solvers.preconditioners import ILUInner
+
+    n = 32 if small else 64
+    op = make_stokes_operator(n, c=1.0, d=-1.0, eta=1.0)
+    u_ex, b = stokes_mms(op.grid, 1.0, -1.0, eta=1.0)
+    mv = krylov.flatten_op(op.A.apply, u_ex, ("u", "v", "p"))
+    b_vec = jnp.concatenate([b[f].ravel() for f in ("u", "v", "p")])
+    f_inner = ILUInner.ilut_of(op.F, fill=100, tau=1e-3)
+    n2 = n * n
+
+    def pc(v):
+        return jnp.concatenate([f_inner(v[:2 * n2]), -v[2 * n2:]])
+
+    t0 = time.time()
+    res = krylov.fgmres(mv, b_vec, tol=1e-8, maxiter=200, M=pc)
+    _emit({"config": 0, "desc": "stokes const-eta block_diag", "n": n,
+           "iters": int(res.iters), "relres": float(res.relres),
+           "converged": bool(res.converged),
+           "solve_s": round(time.time() - t0, 3)})
+
+
+def config1(small):
+    import jax.numpy as jnp
+    import numpy as np
+    from mpbp_tpu.models.stokes import make_stokes_operator
+    from mpbp_tpu.solvers import gmres as krylov
+    from mpbp_tpu.solvers.preconditioners import ILUInner
+
+    n = 32 if small else 128
+    PI = np.pi
+
+    def eta_fn(y, x):
+        return 1.0 + 0.5 * jnp.sin(2 * PI * x) * jnp.sin(2 * PI * y)
+
+    op = make_stokes_operator(n, c=1.0, d=-1.0, eta_fn=eta_fn)
+    n2 = n * n
+    rng = np.random.default_rng(0)
+    b_vec = jnp.asarray(rng.normal(size=3 * n2))
+    b_vec = b_vec.at[2 * n2:].add(-jnp.mean(b_vec[2 * n2:]))
+    tmpl = {f: jnp.zeros((n, n)) for f in ("u", "v", "p")}
+    mv = krylov.flatten_op(op.A.apply, tmpl, ("u", "v", "p"))
+    f_inner = ILUInner.ilut_of(op.F, fill=100, tau=1e-3)
+    eta_j = jnp.asarray(np.asarray(op.grid.eval_at_cells(eta_fn)).ravel())
+
+    def pc(v):
+        zu = f_inner(v[:2 * n2])
+        du = op.D.apply({"u": zu[:n2].reshape(n, n),
+                         "v": zu[n2:].reshape(n, n)})["p"].ravel()
+        return jnp.concatenate([zu, -eta_j * (v[2 * n2:] + du)])
+
+    t0 = time.time()
+    res = krylov.fgmres(mv, b_vec, tol=1e-8, maxiter=200, M=pc)
+    _emit({"config": 1, "desc": "stokes var-eta block_tri mass-schur", "n": n,
+           "iters": int(res.iters), "relres": float(res.relres),
+           "converged": bool(res.converged),
+           "solve_s": round(time.time() - t0, 3)})
+
+
+def config2(small):
+    from mpbp_tpu.drivers import solve_multiphase
+
+    n = 64 if small else 256
+    t0 = time.time()
+    rep = solve_multiphase(n=n, c=1, d=-1, xi=1.0, eta_n=100.0, eta_s=1.0,
+                           pc="lsc_mg_full", tol=1e-8, maxiter=60)
+    _emit({"config": 2, "desc": "multiphase LSC (SpGEMM products)", "n": n,
+           "pc": "lsc_mg_full", "iters": int(rep.iters),
+           "relres": float(rep.relres), "converged": bool(rep.converged),
+           "error_l2": rep.error_norms["l2"],
+           "solve_s": round(time.time() - t0, 3)})
+
+
+def _sharded_solve(n, maxiter, config_id, desc):
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    from jax.sharding import Mesh
+
+    from mpbp_tpu.models import mms
+    from mpbp_tpu.models.multiphase import make_multiphase_operator
+    from mpbp_tpu.parallel import sharding as sh
+    from mpbp_tpu.solvers import gmres as krylov
+
+    devs = jax.devices()
+    mesh = Mesh(np.array(devs), axis_names=("x",))
+    op = make_multiphase_operator(n, c=1.0, d=-1.0, xi=1.0, eta_n=100.0,
+                                  eta_s=1.0, dtype=jnp.float32)
+    prob = mms.variable_thn_problem(1.0, -1.0, 1.0, 100.0, 1.0)
+    _, b = mms.fill_sol_and_rhs(op.grid, prob)
+    sop = sh.shard_multiphase(op, mesh)
+    bv = jax.device_put(
+        sh.stack_state({k: v.astype(jnp.float32) for k, v in b.items()}),
+        sh.vector_sharding(mesh))
+    mv = jax.jit(sh.stacked_matvec(sop.A))
+    res = krylov.fgmres(mv, bv, tol=0.0, maxiter=maxiter)   # warm/compile
+    t0 = time.time()
+    res = krylov.fgmres(mv, bv, tol=0.0, maxiter=maxiter)
+    float(jnp.sum(res.x))
+    t = time.time() - t0
+    _emit({"config": config_id, "desc": desc, "n": n, "devices": len(devs),
+           "iters": int(res.iters), "relres": float(res.relres),
+           "s_per_iter": round(t / max(int(res.iters), 1), 4),
+           "solve_s": round(t, 3)})
+
+
+def config3(small):
+    _sharded_solve(128 if small else 512, 20, 3,
+                   "multiphase sharded FGMRES (fixed 20 iters)")
+
+
+def config4(small):
+    _sharded_solve(256 if small else 1024, 10, 4,
+                   "multiphase row-partitioned halo SpMV (fixed 10 iters)")
+
+
+def main(argv=None):
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--small", action="store_true",
+                    help="shrink grids for CPU functional runs")
+    ap.add_argument("--configs", type=int, nargs="+", default=[0, 1, 2, 3, 4])
+    args = ap.parse_args(argv)
+
+    import jax
+
+    jax.config.update("jax_enable_x64", True)
+    log(f"configs: devices={jax.devices()}")
+    fns = [config0, config1, config2, config3, config4]
+    for i in args.configs:
+        t0 = time.time()
+        fns[i](args.small)
+        log(f"config {i}: {time.time() - t0:.1f}s total")
+
+
+if __name__ == "__main__":
+    main()
