@@ -90,6 +90,14 @@ def main(argv=None):
     zn = float(jnp.linalg.norm(z))
     log(f"M32(b) norm: {zn:.3e} finite={bool(jnp.isfinite(zn))}")
 
+    # PC quality: how close is z to A^{-1} b? Measure the residual of the
+    # PC output as an approximate solve: ||b - A z|| / ||b||. A useful PC
+    # gives per-outer-iteration contraction ~ this number.
+    z64 = np.asarray(z, np.float64)
+    pc_res = float(np.linalg.norm(np.asarray(b64) - S @ z64)
+                   / np.linalg.norm(np.asarray(b64)))
+    log(f"PC-as-solver relres ||b - A M32(b)||/||b||: {pc_res:.3e}")
+
     scale = block_scales(op64)
     d32 = scale.astype(jnp.float32)
     mv32s = lambda v: d32 * mv32(d32 * v)                    # noqa: E731

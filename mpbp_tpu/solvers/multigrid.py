@@ -138,7 +138,7 @@ def v_cycle(levels: list[MGLevel], b: jax.Array, x: jax.Array,
     return x
 
 
-@dataclasses.dataclass
+@dataclasses.dataclass(eq=False)
 class MGPressureSolver:
     """Fixed-cycle multigrid inner solve for GtG (flexible-outer legal)."""
 
@@ -290,7 +290,7 @@ def vel_v_cycle(levels: list[VelLevel], b: dict, x: dict, lev: int = 0,
     return x
 
 
-@dataclasses.dataclass
+@dataclasses.dataclass(eq=False)
 class MGVelocitySolver:
     """Fixed-cycle velocity-block MG on flat (4 n^2,) vectors (the f_inner
     interface of solvers/preconditioners.make_lsc_pc)."""

@@ -119,7 +119,7 @@ def _stencil_matvec(A_stencil: StencilOperator, dtype) -> Callable:
     return krylov.flatten_op(A_stencil.apply, tmpl, A_stencil.in_fields)
 
 
-@dataclasses.dataclass
+@dataclasses.dataclass(eq=False)
 class KrylovInner:
     """Fixed-budget inner Krylov solve (matrix-free). Because the outer
     driver is *flexible* GMRES, a varying inner solve is legal — this is the
@@ -142,7 +142,7 @@ class KrylovInner:
         return res.x
 
 
-@dataclasses.dataclass
+@dataclasses.dataclass(eq=False)
 class JacobiInner:
     """Fixed Jacobi sweeps (reference solve.py:149-159 analog)."""
 
@@ -154,7 +154,7 @@ class JacobiInner:
         return krylov.jacobi(self.matvec, self.diag, v, iters=self.iters)
 
 
-@dataclasses.dataclass
+@dataclasses.dataclass(eq=False)
 class DenseInner:
     """Precomputed dense (pseudo-)inverse — small grids / tests only
     (the reference's pinv/lstsq path, solve.py:218-219)."""
