@@ -100,6 +100,23 @@ def make_preconditioner(op: MultiphaseOperator, kind: str,
     if kind == "exact_schur":
         return pcs.make_exact_schur_pc(op)
 
+    f_inner, p_inner = lsc_inners(op, kind, ilut_fill=ilut_fill,
+                                  ilut_tau=ilut_tau, ilut_refine=ilut_refine,
+                                  inner_tol=inner_tol,
+                                  inner_iters=inner_iters, dtype=dtype)
+    if kind == "block_diag":
+        return pcs.make_block_diagonal_pc(op, f_inner, p_inner)
+    if kind == "block_tri":
+        return pcs.make_block_triangular_pc(op, f_inner, p_inner)
+    return pcs.make_lsc_pc(op, f_inner, p_inner)
+
+
+def lsc_inners(op: MultiphaseOperator, kind: str,
+               ilut_fill: int = 400, ilut_tau: float = 3e-5,
+               ilut_refine: int = 0, inner_tol: float = 1e-4,
+               inner_iters: int = 60, dtype=jnp.float64):
+    """The (F-block, pressure-block) inner solvers for a named PC kind —
+    shared by the single-precision and mixed-precision assemblies."""
     GtG, GtFG = pcs.lsc_products(op)
 
     if kind in ("lsc_ilut", "lsc_ilu0", "block_diag", "block_tri"):
@@ -116,19 +133,14 @@ def make_preconditioner(op: MultiphaseOperator, kind: str,
                                            dtype=dtype, refine=ilut_refine)
             p_inner = pcs.ILUInner.ilut_of(GtG, fill=100, tau=1e-3,
                                            dtype=dtype)
-        if kind == "block_diag":
-            return pcs.make_block_diagonal_pc(op, f_inner, p_inner)
-        if kind == "block_tri":
-            return pcs.make_block_triangular_pc(op, f_inner, p_inner)
-        return pcs.make_lsc_pc(op, f_inner, p_inner)
+        return f_inner, p_inner
 
     def _f_krylov_inner():
         """Matrix-free F inner solve: Jacobi(diag F)-preconditioned GMRES.
         The diagonal PC is what makes this work at viscosity contrast 100
         (measured: 17 outer iters at n=16 stiff vs divergence without)."""
-        f_mv = krylov.flatten_op(op.F.apply,
-                                 {f: jnp.zeros(op.grid.shape, dtype)
-                                  for f in op.F.in_fields}, op.F.in_fields)
+        from mpbp_tpu.models.fused import make_f_apply
+        f_mv = make_f_apply(op)    # flux form: f32-safe on F's near-kernel
         fdiag = jnp.concatenate([
             op.F.terms[(f, f)][(0, 0)].ravel() for f in op.F.out_fields])
 
@@ -143,7 +155,7 @@ def make_preconditioner(op: MultiphaseOperator, kind: str,
                                  {"p": jnp.zeros(op.grid.shape, dtype)}, ("p",))
         p_inner = pcs.KrylovInner(g_mv, tol=inner_tol, maxiter=inner_iters,
                                   method="cg")
-        return pcs.make_lsc_pc(op, _f_krylov_inner(), p_inner)
+        return _f_krylov_inner(), p_inner
 
     if kind == "lsc_mg_full":
         # fully geometric-multigrid configuration: MG V-cycles precondition
@@ -153,15 +165,15 @@ def make_preconditioner(op: MultiphaseOperator, kind: str,
         from mpbp_tpu.solvers.multigrid import (MGPressureSolver,
                                                 MGVelocitySolver)
 
+        from mpbp_tpu.models.fused import make_f_apply
+
         p_inner = MGPressureSolver.of(op, cycles=3)
         mg_vel = MGVelocitySolver.of(op, cycles=1)
-        f_mv = krylov.flatten_op(op.F.apply,
-                                 {f: jnp.zeros(op.grid.shape, dtype)
-                                  for f in op.F.in_fields}, op.F.in_fields)
+        f_mv = make_f_apply(op)    # flux form: f32-safe on F's near-kernel
         f_inner = pcs.KrylovInner(f_mv, tol=inner_tol,
                                   maxiter=max(inner_iters // 4, 8),
                                   method="gmres", M=mg_vel)
-        return pcs.make_lsc_pc(op, f_inner, p_inner)
+        return f_inner, p_inner
 
     if kind in ("lsc_mg", "lsc_mg_krylov"):
         # multigrid pressure inner solve — the author's stated production
@@ -177,9 +189,24 @@ def make_preconditioner(op: MultiphaseOperator, kind: str,
             # fully matrix-free, factorization-free configuration — the
             # sharded/large-scale default (BASELINE configs[3]-[4])
             f_inner = _f_krylov_inner()
-        return pcs.make_lsc_pc(op, f_inner, p_inner)
+        return f_inner, p_inner
 
     raise ValueError(f"unknown preconditioner kind: {kind}")
+
+
+def make_preconditioner_mixed(op64: MultiphaseOperator,
+                              op32: MultiphaseOperator, kind: str,
+                              inner_tol: float = 1e-4,
+                              inner_iters: int = 40,
+                              **kwargs) -> Callable:
+    """Mixed-precision LSC preconditioner: f64 formula glue (built from
+    op64) around f32 inner solves (built from op32). The configuration for
+    grids past the f32 conditioning frontier (n >= ~512 at viscosity
+    contrast 100) — see pcs.make_lsc_pc_mixed for the numerics."""
+    f_inner32, p_inner32 = lsc_inners(op32, kind, inner_tol=inner_tol,
+                                      inner_iters=inner_iters,
+                                      dtype=jnp.float32, **kwargs)
+    return pcs.make_lsc_pc_mixed(op64, f_inner32, p_inner32)
 
 
 def solve_multiphase(n: int = 16, c: float = 1.0, d: float = -1.0,

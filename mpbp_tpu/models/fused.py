@@ -68,6 +68,8 @@ def _phase_momentum(sh, T, u, v, p, dx, dy, d_p):
           + ixy * ((tn - T0) * u0 + (T0 - tnE) * uE
                    + (Tu_ - tn) * uN + (tnE - Tu_) * uNE))
 
+    if p is None:
+        return Lu, Lv, 0.0, 0.0
     p0, pW, pN = sh(p, 0, 0), sh(p, 0, -1), sh(p, -1, 0)
     Gx = d_p * idx * tx * (p0 - pW)
     Gy = d_p * idy * ty * (pN - p0)
@@ -85,17 +87,19 @@ def _phase_divergence(sh, T, u, v, dx, dy):
             + (ty * sh(v, 0, 0) - tyS * sh(v, 1, 0)) / dy)
 
 
-def multiphase_apply_math(sh, Tn, Wnx, Wny, un, vn, us, vs, pr,
-                          params: dict, dx: float, dy: float):
-    """Complete A-apply from (theta planes, state planes) under an abstract
-    shift primitive. Wnx/Wny are pointwise face-theta planes and are already
-    interior-shaped (they are only used at zero offset)."""
+def velocity_block_math(sh, Tn, Wnx, Wny, un, vn, us, vs,
+                        params: dict, dx: float, dy: float, pr=None):
+    """Flux-form velocity-block (F) apply from theta planes under an
+    abstract shift primitive; with pr given, the weighted pressure gradient
+    is included (making this the momentum part of the full A-apply).
+
+    Numerics note: the flux form (differences first, then scale) is what
+    keeps F's near-kernel evaluable in f32 — the assembled coefficient-plane
+    apply has 26% relative error on a constant field at n=128 (measured),
+    which floors every f32 inner F-solve; this form gives ~6e-8."""
     c, d, xi = params["c"], params["d"], params["xi"]
     eta_n, eta_s = params["eta_n"], params["eta_s"]
-    d_p, d_div = params["d_p"], params["d_div"]
-
-    def ones_like(x):
-        return jnp.ones((), x.dtype)
+    d_p = params.get("d_p", 1.0)
 
     Tn0 = sh(Tn, 0, 0)
     Ts = 1.0 - Tn  # full (possibly extended) plane: shifts of Ts match 1-shifts
@@ -121,7 +125,18 @@ def multiphase_apply_math(sh, Tn, Wnx, Wny, un, vn, us, vs, pr,
               + d * eta_s * Lus + Gxs)
     out_vs = (c * Wsy * vs0 - d * XIy * vs0 + d * XIy * vn0
               + d * eta_s * Lvs + Gys)
+    return out_un, out_vn, out_us, out_vs
 
+
+def multiphase_apply_math(sh, Tn, Wnx, Wny, un, vn, us, vs, pr,
+                          params: dict, dx: float, dy: float):
+    """Complete A-apply from (theta planes, state planes) under an abstract
+    shift primitive. Wnx/Wny are pointwise face-theta planes and are already
+    interior-shaped (they are only used at zero offset)."""
+    d_div = params["d_div"]
+    out_un, out_vn, out_us, out_vs = velocity_block_math(
+        sh, Tn, Wnx, Wny, un, vn, us, vs, params, dx, dy, pr=pr)
+    Ts = 1.0 - Tn
     div = (_phase_divergence(sh, Tn, un, vn, dx, dy)
            + _phase_divergence(sh, Ts, us, vs, dx, dy))
     out_p = d_div * div
@@ -143,6 +158,47 @@ def make_fused_apply(op: MultiphaseOperator) -> Callable:
         return jnp.stack(out)
 
     return mv
+
+
+def make_f_apply(op: MultiphaseOperator) -> Callable:
+    """Flux-form matvec for the velocity block F on flat (4 n^2,) vectors.
+
+    Numerically this is NOT interchangeable with op.F.apply in f32 — see
+    velocity_block_math. This is the inner-solve matvec for the mixed-
+    precision preconditioner path."""
+    params = dict(op.params)
+    dx, dy = op.grid.dx, op.grid.dy
+    n = op.grid.n
+    n2 = n * n
+    Tn = op.phase_n.cell
+    Wnx, Wny = op.phase_n.xface_pt, op.phase_n.yface_pt
+
+    def mv(vu):
+        un = vu[0 * n2:1 * n2].reshape(n, n)
+        vn = vu[1 * n2:2 * n2].reshape(n, n)
+        us = vu[2 * n2:3 * n2].reshape(n, n)
+        vs = vu[3 * n2:4 * n2].reshape(n, n)
+        out = velocity_block_math(_roll_shift, Tn, Wnx, Wny, un, vn, us, vs,
+                                  params, dx, dy)
+        return jnp.concatenate([o.ravel() for o in out])
+
+    return mv
+
+
+def make_f_apply_planes(Tn, Wnx, Wny, params: dict, dx: float,
+                        dy: float) -> Callable:
+    """Flux-form F apply on field dicts {un, vn, us, vs} from explicit theta
+    planes — the per-level matvec/residual for the velocity multigrid
+    hierarchy (each level has its own restricted theta)."""
+    params = dict(params)
+
+    def apply(x: dict) -> dict:
+        out = velocity_block_math(_roll_shift, Tn, Wnx, Wny,
+                                  x["un"], x["vn"], x["us"], x["vs"],
+                                  params, dx, dy)
+        return {"un": out[0], "vn": out[1], "us": out[2], "vs": out[3]}
+
+    return apply
 
 
 def make_fused_apply_pallas(op: MultiphaseOperator, interpret: bool = False,

@@ -99,6 +99,48 @@ class StencilOperator:
     def __call__(self, x: Mapping[str, jax.Array]) -> dict[str, jax.Array]:
         return self.apply(x)
 
+    def apply_flux(self, x: Mapping[str, jax.Array]) -> dict[str, jax.Array]:
+        """Difference-form apply: for same-field terms, compute
+        sum_off c_off * (shift(x) - x) + rowsum * x instead of summing
+        coefficient products directly. Exact in real arithmetic; in f32 it
+        keeps near-constant (near-kernel) inputs evaluable when the stencil
+        weights are large and cancelling (e.g. +-eta/dx^2 summing to ~c*theta
+        — the assembled apply loses the near-kernel entirely, measured 26%
+        relative error on a constant field at n=128). Cross-field terms are
+        applied unchanged."""
+        out: dict[str, jax.Array] = {}
+        for of in self.out_fields:
+            acc = None
+            for inf in self.in_fields:
+                offmap = self.terms.get((of, inf))
+                if not offmap:
+                    continue
+                xi = x[inf]
+                if inf == of:
+                    # the row sum is itself a cancelling sum of the large
+                    # weights — accumulate it in f64 (data-independent, so
+                    # XLA folds it at compile time) and cast the small
+                    # result back
+                    rowsum = None
+                    for coef in offmap.values():
+                        c64 = coef.astype(jnp.float64)
+                        rowsum = c64 if rowsum is None else rowsum + c64
+                    rowsum = rowsum.astype(xi.dtype)
+                    for (dr, dc), coef in offmap.items():
+                        if (dr, dc) != (0, 0):
+                            contrib = coef * (shift(xi, dr, dc) - xi)
+                            acc = contrib if acc is None else acc + contrib
+                    contrib = rowsum * xi
+                    acc = contrib if acc is None else acc + contrib
+                else:
+                    for (dr, dc), coef in offmap.items():
+                        contrib = coef * shift(xi, dr, dc)
+                        acc = contrib if acc is None else acc + contrib
+            if acc is None:
+                acc = jnp.zeros(self.shape_grid, _any_dtype(self.terms))
+            out[of] = acc
+        return out
+
     def transpose(self) -> "StencilOperator":
         """Exact transpose: term (of, inf, dr, dc, coef) becomes
         (inf, of, -dr, -dc, shift(coef, -dr, -dc))."""

@@ -85,7 +85,40 @@ class MGLevel:
     n: int
     op: StencilOperator
     diag: jax.Array                 # (n, n) stencil diagonal
-    coarse_pinv: jax.Array | None   # dense pinv at the coarsest level
+    coarse_pinv: jax.Array | None
+    # difference-form apply built from f64 planes (see _scalar_flux_apply);
+    # None falls back to the coefficient-form op.apply
+    flux_apply: object = None
+
+    def apply_p(self, x: jax.Array) -> jax.Array:
+        if self.flux_apply is not None:
+            return self.flux_apply(x)
+        return self.op.apply({"p": x})["p"]
+
+
+def _scalar_flux_apply(op64: StencilOperator, dtype):
+    """Difference-form apply for a single-field ("p") stencil, built from
+    f64 coefficient planes: out = sum_off c*(shift(x)-x) + rowsum*x with the
+    rowsum accumulated exactly in f64 before the cast. In f32 the assembled
+    coefficient-form apply loses the near-kernel (weights ~n^2 cancel to ~0
+    on smooth modes: relative error ~eps32*n^2/k^2 on wavenumber k), which
+    floors the pressure multigrid as an f32 preconditioner."""
+    offmap64 = op64.terms[("p", "p")]
+    rowsum = None
+    for c in offmap64.values():
+        c64 = c.astype(jnp.float64)
+        rowsum = c64 if rowsum is None else rowsum + c64
+    rowsum = rowsum.astype(dtype)
+    planes = {off: c.astype(dtype) for off, c in offmap64.items()
+              if off != (0, 0)}
+
+    def apply(x: jax.Array) -> jax.Array:
+        acc = rowsum * x
+        for (dr, dc), c in planes.items():
+            acc = acc + c * (shift(x, dr, dc) - x)
+        return acc
+
+    return apply   # dense pinv at the coarsest level
 
 
 def build_pressure_mg(mop: MultiphaseOperator, n_coarsest: int = 8,
@@ -96,15 +129,23 @@ def build_pressure_mg(mop: MultiphaseOperator, n_coarsest: int = 8,
     levels: list[MGLevel] = []
     T = mop.phase_n.cell
     n = mop.grid.n
+    T = T.astype(jnp.float64)
     while True:
-        op = _gtg_from_theta(T, n, d_p, d_div, dtype)
+        # build each level in f64, then cast: f32-assembled planes carry
+        # absolute rounding ~eps*max|coef| that makes row sums (exactly 0
+        # for this operator) unrecoverable
+        op64 = _gtg_from_theta(T, n, d_p, d_div, jnp.float64)
+        op = StencilOperator(("p",), ("p",), {
+            k: {off: c.astype(dtype) for off, c in om.items()}
+            for k, om in op64.terms.items()}, (n, n))
         diag = op.terms[("p", "p")][(0, 0)]
+        flux = _scalar_flux_apply(op64, dtype)
         coarse_pinv = None
         if n <= n_coarsest or n % 2 != 0:
-            coarse_pinv = jnp.asarray(np.linalg.pinv(op.to_dense()), dtype)
-            levels.append(MGLevel(n, op, diag, coarse_pinv))
+            coarse_pinv = jnp.asarray(np.linalg.pinv(op64.to_dense()), dtype)
+            levels.append(MGLevel(n, op, diag, coarse_pinv, flux))
             break
-        levels.append(MGLevel(n, op, diag, None))
+        levels.append(MGLevel(n, op, diag, None, flux))
         T = restrict_cell(T)
         n //= 2
     return levels
@@ -114,7 +155,7 @@ def _smooth(level: MGLevel, b, x, sweeps: int, damping: float):
     inv_d = damping / level.diag
 
     def body(_, x):
-        r = b - level.op.apply({"p": x})["p"]
+        r = b - level.apply_p(x)
         return x + inv_d * r
 
     return jax.lax.fori_loop(0, sweeps, body, x)
@@ -128,7 +169,7 @@ def v_cycle(levels: list[MGLevel], b: jax.Array, x: jax.Array,
         n = level.n
         return _hi_mv(level.coarse_pinv, b.ravel()).reshape(n, n)
     x = _smooth(level, b, x, pre, damping)
-    r = b - level.op.apply({"p": x})["p"]
+    r = b - level.apply_p(x)
     rc = restrict_cell(r)
     ec = v_cycle(levels, rc, jnp.zeros_like(rc), lev + 1, pre, post, damping)
     # piecewise-constant prolongation; the factor 4 accounts for the 2x2
@@ -221,6 +262,14 @@ class VelLevel:
     op: StencilOperator            # F on (un, vn, us, vs)
     diag: dict                     # per-field stencil diagonals
     coarse_pinv: jax.Array | None
+    # flux-form apply (models/fused.velocity_block_math): differences first,
+    # then scale — REQUIRED for f32 hierarchies, where the coefficient-plane
+    # apply's +-O(eta/dx^2) cancellations bury F's near-kernel in roundoff
+    # (26% error on a constant field at n=128, measured)
+    flux_apply: object = None
+
+    def apply(self, x: dict) -> dict:
+        return (self.flux_apply or self.op.apply)(x)
 
 
 def build_velocity_mg(mop: MultiphaseOperator, n_coarsest: int = 8,
@@ -232,28 +281,33 @@ def build_velocity_mg(mop: MultiphaseOperator, n_coarsest: int = 8,
     dtype = dtype or mop.phase_n.cell.dtype
     p = mop.params
     levels: list[VelLevel] = []
-    T = mop.phase_n.cell
+    # hierarchy is built in f64 and cast per level: f32-assembled planes
+    # carry absolute rounding ~eps*eta/dx^2 that corrupts row sums and the
+    # coarse dense pseudo-inverse at the drag/mass (near-kernel) scale
+    T = mop.phase_n.cell.astype(jnp.float64)
     n = mop.grid.n
-    first = True
+    from mpbp_tpu.models.fused import make_f_apply_planes
     while True:
-        grid = MACGrid(n, dtype=dtype)
-        if first:
-            ph_n, ph_s = mop.phase_n, mop.phase_s  # exact fine-level fields
-            F = mop.F
-        else:
-            ph_n = _phase_fields_from_cell(grid, T)
-            ph_s = _phase_fields_from_cell(grid, 1.0 - T)
-            F = assemble_velocity_block(ph_n, ph_s, grid, p["c"], p["d"],
-                                        p["xi"], p["eta_n"], p["eta_s"])
+        grid = MACGrid(n, dtype=jnp.float64)
+        ph_n = _phase_fields_from_cell(grid, T)
+        ph_s = _phase_fields_from_cell(grid, 1.0 - T)
+        F64 = assemble_velocity_block(ph_n, ph_s, grid, p["c"], p["d"],
+                                      p["xi"], p["eta_n"], p["eta_s"])
+        F = StencilOperator(F64.out_fields, F64.in_fields, {
+            k: {off: c.astype(dtype) for off, c in om.items()}
+            for k, om in F64.terms.items()}, (n, n))
         diag = {f: F.terms[(f, f)][(0, 0)] for f in _VEL}
+        flux = make_f_apply_planes(ph_n.cell.astype(dtype),
+                                   ph_n.xface_pt.astype(dtype),
+                                   ph_n.yface_pt.astype(dtype),
+                                   p, grid.dx, grid.dy)
         if n <= n_coarsest or n % 2 != 0:
-            pinv = jnp.asarray(np.linalg.pinv(F.to_dense()), dtype)
-            levels.append(VelLevel(n, F, diag, pinv))
+            pinv = jnp.asarray(np.linalg.pinv(F64.to_dense()), dtype)
+            levels.append(VelLevel(n, F, diag, pinv, flux))
             break
-        levels.append(VelLevel(n, F, diag, None))
+        levels.append(VelLevel(n, F, diag, None, flux))
         T = restrict_cell(T)
         n //= 2
-        first = False
     return levels
 
 
@@ -262,7 +316,7 @@ def _vel_smooth(level: VelLevel, b: dict, x: dict, sweeps: int,
     inv_d = {f: damping / level.diag[f] for f in _VEL}
 
     def body(_, x):
-        Ax = level.op.apply(x)
+        Ax = level.apply(x)
         return {f: x[f] + inv_d[f] * (b[f] - Ax[f]) for f in _VEL}
 
     return jax.lax.fori_loop(0, sweeps, body, x)
@@ -279,7 +333,7 @@ def vel_v_cycle(levels: list[VelLevel], b: dict, x: dict, lev: int = 0,
         return {f: xv[i * n2:(i + 1) * n2].reshape(n, n)
                 for i, f in enumerate(_VEL)}
     x = _vel_smooth(level, b, x, pre, damping)
-    Ax = level.op.apply(x)
+    Ax = level.apply(x)
     r = {f: b[f] - Ax[f] for f in _VEL}
     rc = _restrict_vel(r)
     zc = {f: jnp.zeros_like(rc[f]) for f in _VEL}

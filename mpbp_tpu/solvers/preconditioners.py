@@ -206,6 +206,51 @@ def make_lsc_pc(op: MultiphaseOperator,
     return apply
 
 
+def make_lsc_pc_mixed(op64: MultiphaseOperator,
+                      f_inner32: Callable,
+                      p_inner32: Callable) -> Callable:
+    """LSC apply with f64 glue and f32 inner solves — the TPU mixed-
+    precision configuration for grids past the f32 conditioning frontier.
+
+    Why: an all-f32 LSC apply has output error ~ eps_f32 * kappa(A) on
+    arbitrary (rough) inputs — measured 3.5e-4 at n=256 and ~2e-2 at n=512
+    (contrast 100) — and flexible GMRES stalls exactly at that floor after
+    one iteration, because the error is incoherent noise rather than an
+    inexact-but-consistent operator. Keeping the *formula* arithmetic
+    (reference solve.py:257-277: rp = D u_hat + v_p; u = u_hat - F~^-1 G x_p
+    — the two cancellation-heavy lines) in f64 while the inner solves run
+    f32 restores per-application quality to the inner-solve tolerance at
+    ~f32 cost: the inner MG/Krylov sweeps are >95% of the flops.
+    """
+    _, GtFG = lsc_products(op64)
+    n = op64.grid.n
+    f32, f64 = jnp.float32, jnp.float64
+
+    def f_inner(vu64):
+        # scale-normalize before the cast (Krylov solves are scale-
+        # invariant; the input magnitude after glue cancellations is not)
+        s = jnp.maximum(jnp.max(jnp.abs(vu64)), 1e-300)
+        return f_inner32((vu64 / s).astype(f32)).astype(f64) * s
+
+    def p_inner(rp64):
+        # scale-normalize before the cast: rp's magnitude is arbitrary
+        s = jnp.maximum(jnp.max(jnp.abs(rp64)), 1e-300)
+        return p_inner32((rp64 / s).astype(f32)).astype(f64) * s
+
+    def apply(v):
+        vu, vp = split_uv_p(op64, v)
+        u_hat = f_inner(vu)
+        rp = op64.D.apply(unpack_vel(op64, u_hat))["p"] + vp.reshape(n, n)
+        x_a = p_inner(rp.ravel())
+        x_b = GtFG.apply({"p": x_a.reshape(n, n)})["p"]
+        x_p = p_inner(x_b.ravel())
+        gxp = op64.G.apply({"p": x_p.reshape(n, n)})
+        u = u_hat - f_inner(pack_vel(op64, gxp))
+        return jnp.concatenate([u, x_p])
+
+    return apply
+
+
 # ---------------------------------------------------------------------------
 # Exact Schur-complement preconditioner (reference solve.py:210-238)
 # ---------------------------------------------------------------------------
