@@ -202,7 +202,15 @@ def make_preconditioner_mixed(op64: MultiphaseOperator,
     """Mixed-precision LSC preconditioner: f64 formula glue (built from
     op64) around f32 inner solves (built from op32). The configuration for
     grids past the f32 conditioning frontier (n >= ~512 at viscosity
-    contrast 100) — see pcs.make_lsc_pc_mixed for the numerics."""
+    contrast 100) — see pcs.make_lsc_pc_mixed for the numerics.
+
+    Only LSC kinds are meaningful here: the glue IS the LSC formula. The
+    block-diag/tri families have no mixed-precision assembly (yet), so
+    asking for one raises instead of silently returning an LSC PC."""
+    if not kind.startswith("lsc_"):
+        raise ValueError(
+            f"make_preconditioner_mixed builds LSC glue; kind={kind!r} is "
+            "not an lsc_* kind (use make_preconditioner for block PCs)")
     f_inner32, p_inner32 = lsc_inners(op32, kind, inner_tol=inner_tol,
                                       inner_iters=inner_iters,
                                       dtype=jnp.float32, **kwargs)

@@ -46,16 +46,41 @@ _VMEM_BYTES = 100 * 2 ** 20  # interpret-mode/CPU has no real limit; TPU
 #                              sizing is checked by dia_spmv_supported()
 
 
+def _pick_block_rows(R: int, K: int, block_rows: int = 128) -> int:
+    """Largest power-of-two-ish divisor of R with the data stripe in budget.
+
+    The pipelined data stripe costs ~2*K*TR*512 bytes (double-buffered); cap
+    it at ~4 MB so matrices with many diagonals shrink TR instead of blowing
+    VMEM (advisor finding r1)."""
+    TR = min(block_rows, R)
+    while R % TR:
+        TR //= 2
+    TR = max(TR, 1)
+    while TR > 1 and 2 * K * TR * (_LANES * 4) > 4 * 2 ** 20:
+        TR //= 2
+        while R % TR:
+            TR //= 2
+    return max(TR, 1)
+
+
 def dia_spmv_supported(A: DIAMatrix, dtype=jnp.float32,
-                       vmem_budget: int = 14 * 2 ** 20) -> bool:
-    """True when the Pallas path can run A on a real TPU core."""
+                       vmem_budget: int = 14 * 2 ** 20,
+                       block_rows: int = 128) -> bool:
+    """True when the Pallas path can run A on a real TPU core.
+
+    Budgets the full VMEM working set: the doubled x vector (resident),
+    the double-buffered data stripe 2*K*TR*512 bytes, and the
+    double-buffered output stripe — not just x2 (advisor finding r1)."""
     nrows, ncols = A.shape
     if nrows != ncols or nrows % _LANES:
         return False
     if dtype not in (jnp.float32, jnp.dtype(jnp.float32)):
         return False
-    # x2 must fit VMEM next to one data stripe and the out stripe
-    return 2 * nrows * 4 <= vmem_budget - 2 ** 20
+    R = nrows // _LANES
+    K = len(A.offsets)
+    TR = _pick_block_rows(R, K, block_rows)
+    stripe = 2 * (K + 1) * TR * (_LANES * 4)   # data + out, double-buffered
+    return 2 * nrows * 4 + stripe <= vmem_budget - 2 ** 20
 
 
 def dia_spmv_pallas(A: DIAMatrix, block_rows: int = 128,

@@ -104,9 +104,8 @@ def halo_stencil_apply(op: StencilOperator, mesh: Mesh, axis: str = "x",
             return _seg_apply(op_local, ext, in_fields, nl, H, dtype)
 
         # interior: output rows [H, nl-H) read stacked rows [0, nl) only
-        crop = {of: None for of in op_local.out_fields}
-        interior = _crop_coefs_apply(op_local, _seg_apply, stacked,
-                                     in_fields, nl, H, dtype)
+        interior = _crop_coefs_apply(op_local, stacked, in_fields, nl, H,
+                                     dtype)
 
         # boundary segments (each H output rows, needing the remote halos)
         ext_top = jnp.concatenate([top, stacked[:, :2 * H, :]], axis=1)
@@ -119,8 +118,7 @@ def halo_stencil_apply(op: StencilOperator, mesh: Mesh, axis: str = "x",
                                     axis=0)
                 for of in op_local.out_fields}
 
-    def _crop_coefs_apply(op_local, seg_apply, stacked, in_fields, nl, H,
-                          dtype):
+    def _crop_coefs_apply(op_local, stacked, in_fields, nl, H, dtype):
         """Interior segment: output rows [H, nl-H); coefficient planes are
         cropped to those rows."""
         nrows = nl - 2 * H

@@ -46,7 +46,14 @@ class EigResult:
 
 def _arnoldi_extend(matvec, V, H, start, m):
     """Extend an Arnoldi factorization from `start` to `m` vectors.
-    V: (m+1, *S) device array with rows [0, start] filled. H: (m+1, m) host."""
+    V: (m+1, *S) device array with rows [0, start] filled. H: (m+1, m) host.
+
+    All device work (matvec, CGS2 projections, normalization) is queued
+    without host syncs; the Hessenberg columns are fetched in ONE transfer
+    at the end of the extension. An exact breakdown (beta == 0) leaves the
+    next basis vector as the zero vector — every later column is then zero
+    too — and is detected after the fetch, truncating the factorization."""
+    hs, betas = [], []
     for j in range(start, m):
         w = matvec(V[j])
         # CGS2 against all previous vectors (rows > j are zero).
@@ -56,13 +63,19 @@ def _arnoldi_extend(matvec, V, H, start, m):
         w = w - _tdot(h1, V, ((0,), (0,)))
         h2 = _tdot(V, w, (vdims, wdims))
         w = w - _tdot(h2, V, ((0,), (0,)))
-        h = np.asarray(h1 + h2)
-        beta = float(jnp.sqrt(jnp.sum(w * w)))
-        H[: j + 1, j] = h[: j + 1]
-        H[j + 1, j] = beta
-        if beta == 0.0:
+        beta = jnp.sqrt(jnp.sum(w * w))
+        V = V.at[j + 1].set(w / jnp.where(beta > 0, beta, 1.0))
+        hs.append(h1 + h2)
+        betas.append(beta)
+    if not hs:
+        return V, H, m
+    hs_np = np.asarray(jnp.stack(hs))          # single device fetch
+    betas_np = np.asarray(jnp.stack(betas))
+    for idx, j in enumerate(range(start, m)):
+        H[: j + 1, j] = hs_np[idx, : j + 1]
+        H[j + 1, j] = betas_np[idx]
+        if betas_np[idx] == 0.0:
             return V, H, j + 1  # invariant subspace
-        V = V.at[j + 1].set(w / beta)
     return V, H, m
 
 
@@ -75,6 +88,8 @@ def eigs(matvec: Callable, example: jax.Array, k: int = 10,
     max_it=40 — reference solve.py:127-129). `example` fixes the vector
     shape/dtype (flat or stacked/sharded).
     """
+    if maxiter <= 0:
+        return EigResult(np.empty(0, complex), np.empty(0), 0, 0)
     ncv = ncv or max(2 * k + 1, 20)
     S = example.shape
     dtype = example.dtype

@@ -253,26 +253,7 @@ def fgmres(matvec: Callable, b: jax.Array, x0: jax.Array | None = None,
     if restart is None or restart >= maxiter:
         return _fgmres_cycle(matvec, b, x0, tol, maxiter, M, True, orthog)
 
-    x = x0
-    total_iters = 0
-    hists = []
-    result = None
-    remaining = maxiter
-    while remaining > 0:
-        cycle = min(restart, remaining)
-        result = _fgmres_cycle(matvec, b, x, tol, cycle, M, True, orthog)
-        x = result.x
-        it = int(result.iters)
-        total_iters += it
-        hists.append(np.asarray(result.res_history[: it + 1]))
-        remaining -= cycle
-        if bool(result.converged):
-            break
-    hist = np.concatenate(hists) if hists else np.array([])
-    full_hist = jnp.full(maxiter + 1, jnp.nan, b.dtype)
-    full_hist = full_hist.at[: len(hist)].set(jnp.asarray(hist))
-    return KrylovResult(x, jnp.asarray(total_iters), result.relres,
-                        full_hist, result.converged)
+    return _restarted(matvec, b, x0, tol, maxiter, restart, M, True, orthog)
 
 
 def gmres(matvec: Callable, b: jax.Array, x0: jax.Array | None = None,
@@ -287,20 +268,38 @@ def gmres(matvec: Callable, b: jax.Array, x0: jax.Array | None = None,
     M = M if M is not None else _identity
     if restart is None or restart >= maxiter:
         return _fgmres_cycle(matvec, b, x0, tol, maxiter, M, False, orthog)
+    return _restarted(matvec, b, x0, tol, maxiter, restart, M, False, orthog)
+
+
+def _restarted(matvec, b, x0, tol, maxiter, restart, M, use_z, orthog
+               ) -> KrylovResult:
+    """Host loop over jitted cycles with a correctly stitched history.
+
+    The stitched history has one entry per residual-norm estimate: the
+    initial residual, then one per iteration — a cycle's entry 0 duplicates
+    the previous cycle's final residual, so it is dropped for every cycle
+    after the first. `iters` therefore always equals len(history) - 1."""
     x = x0
     total_iters = 0
+    hists = []
     result = None
     remaining = maxiter
     while remaining > 0:
         cycle = min(restart, remaining)
-        result = _fgmres_cycle(matvec, b, x, tol, cycle, M, False, orthog)
+        result = _fgmres_cycle(matvec, b, x, tol, cycle, M, use_z, orthog)
         x = result.x
-        total_iters += int(result.iters)
-        remaining -= cycle
-        if bool(result.converged):
+        it = int(result.iters)
+        total_iters += it
+        h = np.asarray(result.res_history[: it + 1])
+        hists.append(h if not hists else h[1:])
+        remaining -= it if it > 0 else cycle   # breakdown: don't loop forever
+        if bool(result.converged) or it == 0:
             break
+    hist = np.concatenate(hists) if hists else np.array([])
+    full_hist = jnp.full(maxiter + 1, jnp.nan, b.dtype)
+    full_hist = full_hist.at[: len(hist)].set(jnp.asarray(hist))
     return KrylovResult(x, jnp.asarray(total_iters), result.relres,
-                        result.res_history, result.converged)
+                        full_hist, result.converged)
 
 
 @partial(jax.jit, static_argnames=("matvec", "M", "maxiter"))

@@ -55,6 +55,11 @@ def _phase_fields_from_cell(grid: MACGrid, T: jax.Array) -> PhaseFields:
                        xface_pt=xface, yface_pt=yface)
 
 
+def _cast_phase_fields(ph: PhaseFields, dtype) -> PhaseFields:
+    return PhaseFields(*(jnp.asarray(getattr(ph, f.name), dtype)
+                         for f in dataclasses.fields(PhaseFields)))
+
+
 def _gtg_from_theta(T_n: jax.Array, n: int, d_p: float, d_div: float,
                     dtype) -> StencilOperator:
     """Pressure Schur stencil (-D) G for both phases from the theta plane."""
@@ -287,10 +292,21 @@ def build_velocity_mg(mop: MultiphaseOperator, n_coarsest: int = 8,
     T = mop.phase_n.cell.astype(jnp.float64)
     n = mop.grid.n
     from mpbp_tpu.models.fused import make_f_apply_planes
+    first = True
     while True:
         grid = MACGrid(n, dtype=jnp.float64)
-        ph_n = _phase_fields_from_cell(grid, T)
-        ph_s = _phase_fields_from_cell(grid, 1.0 - T)
+        if first:
+            # level 0 uses the EXACT fine-level fields (pointwise face
+            # thetas from mop), so the finest smoother/residual target the
+            # true F, not an O(dx^2)-averaged perturbation of it; coarse
+            # levels have no closed-form theta and use cell averages
+            # (advisor finding r1).
+            ph_n = _cast_phase_fields(mop.phase_n, jnp.float64)
+            ph_s = _cast_phase_fields(mop.phase_s, jnp.float64)
+            first = False
+        else:
+            ph_n = _phase_fields_from_cell(grid, T)
+            ph_s = _phase_fields_from_cell(grid, 1.0 - T)
         F64 = assemble_velocity_block(ph_n, ph_s, grid, p["c"], p["d"],
                                       p["xi"], p["eta_n"], p["eta_s"])
         F = StencilOperator(F64.out_fields, F64.in_fields, {

@@ -109,3 +109,16 @@ def test_exact_eigenvalues_matches_arnoldi():
         assert np.min(np.abs(full - ev)) < 1e-3 * np.abs(ev)
     np.testing.assert_allclose(np.max(np.abs(res.eigenvalues)),
                                np.max(np.abs(full)), rtol=1e-5)
+
+
+def test_eigs_maxiter_zero_returns_empty():
+    """maxiter=0 returns an empty, well-formed result instead of raising
+    (VERDICT r1 weak #6)."""
+    from mpbp_tpu.solvers.eigen import eigs
+
+    d = jnp.arange(1.0, 9.0)
+    res = eigs(lambda v: d * v, jnp.ones(8), k=3, maxiter=0)
+    assert res.n_converged == 0
+    assert res.iterations == 0
+    assert res.eigenvalues.shape == (0,)
+    assert res.clustering() == float("inf")

