@@ -43,6 +43,17 @@ def main(argv=None):
     _add_common(p_eigs)
     cfg.add_dataclass_args(p_eigs, cfg.SolverConfig)
     p_eigs.add_argument("--k", type=int, default=10)
+    p_eigs.add_argument("--report", default="",
+                        help="write a plot-ready spectrum report (JSON: "
+                             "spec(A) + spec(A*M^-1) per PC + clustering "
+                             "radii) to this path")
+    p_eigs.add_argument("--pcs", default="",
+                        help="comma-separated PC kinds for --report "
+                             "(default: the --pc value, or exact_schur,"
+                             "lsc_ilut)")
+    p_eigs.add_argument("--exact", action="store_true",
+                        help="dense full spectrum (small n only) instead of "
+                             "matrix-free Arnoldi")
 
     p_exp = sub.add_parser("export", help="CSV dump of block matrices")
     _add_common(p_exp)
@@ -112,6 +123,25 @@ def main(argv=None):
         from mpbp_tpu.models.multiphase import make_multiphase_operator
         from mpbp_tpu.solvers.eigen import eigs as eig_solve
         from mpbp_tpu.solvers.eigen import preconditioned_spectrum
+
+        if args.report:
+            from mpbp_tpu.drivers import spectrum_report
+            pcs = ([p for p in args.pcs.split(",") if p] if args.pcs
+                   else ([sol.pc] if sol.pc != "none"
+                         else ["exact_schur", "lsc_ilut"]))
+            rep = spectrum_report(
+                n=prob.n, c=prob.c, d=prob.d, xi=prob.xi, eta_n=prob.eta_n,
+                eta_s=prob.eta_s, pcs=pcs, k=args.k,
+                exact=args.exact or None,
+                ilut_fill=sol.ilut_fill, ilut_tau=sol.ilut_tau)
+            with open(args.report, "w") as f:
+                json.dump(rep, f, indent=1)
+            for kind, spec in rep["preconditioned"].items():
+                print(f"pc={kind}: clustering radius around 1 = "
+                      f"{spec['clustering_radius_1']:.3g} "
+                      f"(n_converged={spec['n_converged']})")
+            print("wrote", args.report)
+            return 0
 
         op = make_multiphase_operator(prob.n, c=prob.c, d=prob.d, xi=prob.xi,
                                       eta_n=prob.eta_n, eta_s=prob.eta_s)

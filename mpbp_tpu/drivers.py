@@ -12,7 +12,7 @@ from __future__ import annotations
 
 import dataclasses
 from functools import partial
-from typing import Callable
+from typing import Callable, Sequence
 
 import jax
 import jax.numpy as jnp
@@ -260,6 +260,74 @@ def solve_multiphase(n: int = 16, c: float = 1.0, d: float = -1.0,
                     maxiter=maxiter, problem=problem, true_relres=true_res),
         status=classify_status(bool(result.converged), hist),
     )
+
+
+def spectrum_report(n: int = 16, c: float = 1.0, d: float = -1.0,
+                    xi: float = 1.0, eta_n: float = 1.0, eta_s: float = 1.0,
+                    pcs: Sequence[str] = ("exact_schur", "lsc_ilut"),
+                    k: int = 10, tol: float = 1e-4, maxiter: int = 40,
+                    exact: bool | None = None, **pc_kwargs) -> dict:
+    """Plot-ready eigenvalue study of A vs A*M^-1 across preconditioners —
+    the reference's spectral analysis (reference solve.py:306-327 computes
+    eigenvalues of A and the preconditioned operator and scatter-plots them).
+    Returns a JSON-serializable dict: for each operator the complex spectrum
+    as (re, im) arrays plus the clustering radius around 1 (the
+    preconditioner-quality number the reference eyeballs from plots).
+
+    `exact=True` uses the full dense spectrum (reference's sympy variant,
+    solve.py:86-101) — small n only; default: exact when n <= 12.
+    """
+    from mpbp_tpu.solvers import eigen
+
+    op = make_multiphase_operator(n, c=c, d=d, xi=xi, eta_n=eta_n,
+                                  eta_s=eta_s, dtype=jnp.float64)
+    mv = a_matvec(op)
+    ex = jnp.ones(5 * n * n, jnp.float64)
+    use_exact = (n <= 12) if exact is None else exact
+
+    def _spectrum(matvec) -> dict:
+        if use_exact:
+            # full dense spectrum: materialize columns in one vmapped batch
+            # (the PC applies — inner Krylov included — batch fine under
+            # vmap; a per-column host loop is ~100x slower)
+            N = 5 * n * n
+            cols = jax.jit(jax.vmap(matvec))(jnp.eye(N, dtype=jnp.float64))
+            ev = np.linalg.eigvals(np.asarray(cols).T)
+            ev = ev[np.argsort(-np.abs(ev))]
+            resid = np.zeros(len(ev))
+            nconv = len(ev)
+        else:
+            res = eigen.eigs(matvec, ex, k=k, tol=tol, maxiter=maxiter)
+            ev, resid, nconv = res.eigenvalues, res.residuals, res.n_converged
+        evc = ev[:nconv]
+        # the periodic problem's constant-pressure nullspace maps to an exact
+        # 0 eigenvalue of A*M^-1 (reference fights it at solve.py:260-272);
+        # report it separately rather than letting it mask the clustering
+        nontrivial = evc[np.abs(evc) > 1e-8]
+        return {
+            "eigenvalues_re": np.real(ev).tolist(),
+            "eigenvalues_im": np.imag(ev).tolist(),
+            "residuals": np.asarray(resid).tolist(),
+            "n_converged": int(nconv),
+            "n_nullspace": int(np.sum(np.abs(evc) <= 1e-8)),
+            "clustering_radius_1": (
+                float(np.max(np.abs(nontrivial - 1.0)))
+                if len(nontrivial) else float("inf")),
+        }
+
+    report = {
+        "n": n,
+        "params": dict(c=c, d=d, xi=xi, eta_n=eta_n, eta_s=eta_s),
+        "method": "dense" if use_exact else "arnoldi",
+        "A": _spectrum(mv),
+        "preconditioned": {},
+    }
+    for kind in pcs:
+        M = make_preconditioner(op, kind, **pc_kwargs)
+        if M is None:
+            continue
+        report["preconditioned"][kind] = _spectrum(lambda v: mv(M(v)))
+    return report
 
 
 def apply_report(n: int = 32, c: float = 1.0, d: float = -1.0,

@@ -43,6 +43,23 @@ class KrylovResult(NamedTuple):
     converged: jax.Array
 
 
+class ArnoldiState(NamedTuple):
+    """Mid-solve FGMRES/GMRES state (the while_loop carry) — checkpointable
+    via utils.checkpoint.save_arnoldi_state (SURVEY.md section 5.3:
+    'checkpoint Arnoldi state for restart'). Resuming with the same
+    (matvec, b, x0, maxiter, M) continues the identical Krylov recurrence."""
+
+    j: jax.Array       # iterations completed
+    V: jax.Array       # (m+1, *S) orthonormal basis
+    Z: jax.Array       # (m or 0, *S) flexible preconditioned basis
+    H: jax.Array       # (m+1, m) rotated Hessenberg (R factor)
+    cs: jax.Array      # (m,) Givens cosines
+    sn: jax.Array      # (m,) Givens sines
+    g: jax.Array       # (m+1,) rotated rhs
+    hist: jax.Array    # (m+1,) residual estimates, NaN-padded
+    done: jax.Array    # convergence/breakdown flag
+
+
 def flatten_op(op_apply: Callable, template: dict, fields) -> Callable:
     """Adapt a grid-field operator to flat vectors."""
     fields = tuple(fields)
@@ -82,18 +99,10 @@ def _vnorm(a):
     return jnp.sqrt(_vdot(a, a))
 
 
-@partial(jax.jit, static_argnames=("matvec", "M", "maxiter", "use_z",
-                                   "orthog"))
-def _fgmres_cycle(matvec, b, x0, tol, maxiter: int, M, use_z: bool,
-                  orthog: str = "cgs2"):
-    """One FGMRES cycle. `b`/`x0` may be ANY array shape (1-D flat vectors or
-    stacked grid fields (5, n, n) for the sharded path); the Krylov basis adds
-    a leading axis."""
+def _arnoldi_init(matvec, b, x0, m: int, use_z: bool, tol) -> ArnoldiState:
+    """Fresh Arnoldi state from the initial residual."""
     S = b.shape
-    sdims = tuple(range(1, 1 + len(S)))
     dtype = b.dtype
-    m = maxiter
-
     b_norm = _vnorm(b)
     safe_bnorm = jnp.where(b_norm == 0, 1.0, b_norm)
 
@@ -107,12 +116,14 @@ def _fgmres_cycle(matvec, b, x0, tol, maxiter: int, M, use_z: bool,
     sn = jnp.zeros(m, dtype)
     g = jnp.zeros(m + 1, dtype).at[0].set(beta)
     hist = jnp.full(m + 1, jnp.nan, dtype).at[0].set(beta)
-
     V = V.at[0].set(jnp.where(beta > 0, r0 / beta, r0))
+    return ArnoldiState(jnp.array(0), V, Z, H, cs, sn, g, hist,
+                        (beta / safe_bnorm) < tol)
 
-    def cond(carry):
-        j, V, Z, H, cs, sn, g, hist, done = carry
-        return (~done) & (j < m)
+
+def _arnoldi_body(matvec, M, use_z: bool, orthog: str, m: int, tol,
+                  safe_bnorm):
+    """The FGMRES iteration as a while_loop body over ArnoldiState."""
 
     def body(carry):
         j, V, Z, H, cs, sn, g, hist, done = carry
@@ -205,11 +216,16 @@ def _fgmres_cycle(matvec, b, x0, tol, maxiter: int, M, use_z: bool,
         hist = hist.at[j + 1].set(res)
 
         done = ((res / safe_bnorm) < tol) | breakdown
-        return (j + 1, V, Z, H, cs, sn, g, hist, done)
+        return ArnoldiState(j + 1, V, Z, H, cs, sn, g, hist, done)
 
-    init = (jnp.array(0), V, Z, H, cs, sn, g, hist,
-            (beta / safe_bnorm) < tol)
-    j, V, Z, H, cs, sn, g, hist, done = jax.lax.while_loop(cond, body, init)
+    return body
+
+
+def _arnoldi_solution(state: ArnoldiState, x0, m: int, M, use_z: bool,
+                      safe_bnorm) -> KrylovResult:
+    """Assemble x from the (possibly mid-solve) Arnoldi state."""
+    j, V, Z, H, cs, sn, g, hist, done = state
+    dtype = H.dtype
 
     # Back-substitution on the j x j triangular system (masked to full m).
     valid = jnp.arange(m) < j
@@ -227,8 +243,73 @@ def _fgmres_cycle(matvec, b, x0, tol, maxiter: int, M, use_z: bool,
     else:
         dx = M(_tdot(y, V[:m], ((0,), (0,))))
     x = x0 + dx
-    res_final = jnp.where(j > 0, jnp.abs(g[jnp.minimum(j, m)]), beta)
+    res_final = jnp.where(j > 0, jnp.abs(g[jnp.minimum(j, m)]), hist[0])
     return KrylovResult(x, j, res_final / safe_bnorm, hist, done)
+
+
+@partial(jax.jit, static_argnames=("matvec", "M", "maxiter", "use_z",
+                                   "orthog"))
+def _fgmres_cycle(matvec, b, x0, tol, maxiter: int, M, use_z: bool,
+                  orthog: str = "cgs2"):
+    """One FGMRES cycle. `b`/`x0` may be ANY array shape (1-D flat vectors or
+    stacked grid fields (5, n, n) for the sharded path); the Krylov basis adds
+    a leading axis."""
+    m = maxiter
+    b_norm = _vnorm(b)
+    safe_bnorm = jnp.where(b_norm == 0, 1.0, b_norm)
+
+    state = _arnoldi_init(matvec, b, x0, m, use_z, tol)
+    body = _arnoldi_body(matvec, M, use_z, orthog, m, tol, safe_bnorm)
+
+    def cond(c):
+        return (~c.done) & (c.j < m)
+
+    state = jax.lax.while_loop(cond, body, state)
+    return _arnoldi_solution(state, x0, m, M, use_z, safe_bnorm)
+
+
+@partial(jax.jit, static_argnames=("matvec", "M", "maxiter", "use_z",
+                                   "orthog", "max_steps"))
+def _fgmres_steps(matvec, b, x0, tol, maxiter: int, M, use_z: bool,
+                  orthog: str, state: ArnoldiState | None,
+                  max_steps: int | None):
+    """Run at most `max_steps` more iterations from `state` (fresh state if
+    None), returning (KrylovResult, ArnoldiState) — the checkpointable
+    driver behind fgmres_resumable."""
+    m = maxiter
+    b_norm = _vnorm(b)
+    safe_bnorm = jnp.where(b_norm == 0, 1.0, b_norm)
+
+    if state is None:
+        state = _arnoldi_init(matvec, b, x0, m, use_z, tol)
+    body = _arnoldi_body(matvec, M, use_z, orthog, m, tol, safe_bnorm)
+    j_stop = m if max_steps is None else jnp.minimum(state.j + max_steps, m)
+
+    def cond(c):
+        return (~c.done) & (c.j < j_stop)
+
+    state = jax.lax.while_loop(cond, body, state)
+    return _arnoldi_solution(state, x0, m, M, use_z, safe_bnorm), state
+
+
+def fgmres_resumable(matvec: Callable, b: jax.Array,
+                     x0: jax.Array | None = None, tol: float = 1e-8,
+                     maxiter: int = 100, M: Callable | None = None,
+                     orthog: str = "cgs2", state: ArnoldiState | None = None,
+                     max_steps: int | None = None
+                     ) -> tuple[KrylovResult, ArnoldiState]:
+    """Flexible GMRES that can stop mid-solve and resume exactly.
+
+    Returns (result, state). Run with `max_steps=k` to advance at most k
+    iterations; persist the state with utils.checkpoint.save_arnoldi_state;
+    resume by passing the loaded state back (with the same b/x0/maxiter/M).
+    A resumed solve walks the identical Krylov recurrence, so iterates and
+    history match the uninterrupted solve (tests/test_gmres.py)."""
+    if x0 is None:
+        x0 = jnp.zeros_like(b)
+    M = M if M is not None else _identity
+    return _fgmres_steps(matvec, b, x0, tol, maxiter, M, True, orthog,
+                         state, max_steps)
 
 
 def fgmres(matvec: Callable, b: jax.Array, x0: jax.Array | None = None,

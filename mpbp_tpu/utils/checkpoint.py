@@ -99,3 +99,28 @@ def load_krylov_state(path: str):
     assert str(z["kind"]) == "krylov_state"
     return (jnp.asarray(z["x"]), np.asarray(z["res_history"]),
             int(z["iters"]), json.loads(str(z["meta"])))
+
+
+def save_arnoldi_state(path: str, state, x0, meta: dict | None = None
+                       ) -> None:
+    """Persist a mid-solve solvers.gmres.ArnoldiState (+ the solve's x0) so
+    an interrupted FGMRES can resume its exact Krylov recurrence
+    (SURVEY.md 5.3). Pair with gmres.fgmres_resumable."""
+    np.savez_compressed(
+        path,
+        kind=np.array("arnoldi_state"),
+        x0=np.asarray(x0),
+        meta=np.array(json.dumps(meta or {})),
+        **{f: np.asarray(getattr(state, f)) for f in state._fields},
+    )
+
+
+def load_arnoldi_state(path: str):
+    """-> (ArnoldiState, x0, meta). Resume with
+    gmres.fgmres_resumable(..., state=state) using the same b/maxiter/M."""
+    from mpbp_tpu.solvers.gmres import ArnoldiState
+
+    z = np.load(path, allow_pickle=False)
+    assert str(z["kind"]) == "arnoldi_state", str(z["kind"])
+    state = ArnoldiState(*(jnp.asarray(z[f]) for f in ArnoldiState._fields))
+    return state, jnp.asarray(z["x0"]), json.loads(str(z["meta"]))

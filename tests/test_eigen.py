@@ -122,3 +122,27 @@ def test_eigs_maxiter_zero_returns_empty():
     assert res.iterations == 0
     assert res.eigenvalues.shape == (0,)
     assert res.clustering() == float("inf")
+
+
+@pytest.mark.slow
+def test_spectrum_report_artifact():
+    """The plot-ready spectrum report (drivers.spectrum_report, the data
+    equivalent of reference solve.py:311-327's scatter plots): spec(A) and
+    spec(A*M^-1) arrays per PC, nullspace count, clustering radii; the
+    exact-Schur PC clusters at 1 up to inner-solve error."""
+    import json
+
+    from mpbp_tpu.drivers import spectrum_report
+
+    rep = spectrum_report(n=6, eta_n=1.0, eta_s=1.0,
+                          pcs=("exact_schur",), exact=True)
+    json.dumps(rep)                      # fully serializable
+    assert rep["method"] == "dense"
+    N = 5 * 36
+    assert len(rep["A"]["eigenvalues_re"]) == N
+    es = rep["preconditioned"]["exact_schur"]
+    # the periodic constant-pressure direction maps to the lone 0 eigenvalue
+    assert es["n_nullspace"] == 1, es["n_nullspace"]
+    assert es["clustering_radius_1"] < 1e-3, es["clustering_radius_1"]
+    # raw A is NOT clustered at 1
+    assert rep["A"]["clustering_radius_1"] > 10.0

@@ -142,3 +142,46 @@ def test_restarted_fgmres_total_iters_capped(well_conditioned):
     assert int(res.iters) <= 20
     h = np.asarray(res.res_history)
     assert len(h) == 21  # maxiter+1 slots, NaN-padded
+
+
+def test_fgmres_resumable_matches_uninterrupted(well_conditioned, tmp_path):
+    """Checkpoint mid-solve, round-trip through disk, resume: the stitched
+    solve matches the uninterrupted one (SURVEY.md 5.3 Krylov-state resume)."""
+    from mpbp_tpu.utils import checkpoint as ckpt
+
+    A, b = well_conditioned
+    mv = lambda v: A @ v  # noqa: E731
+
+    full = krylov.fgmres(mv, b, tol=1e-10, maxiter=80)
+    assert bool(full.converged)
+
+    # interrupted run: 7 iterations, persist, reload, finish
+    part, state = krylov.fgmres_resumable(mv, b, tol=1e-10, maxiter=80,
+                                          max_steps=7)
+    assert int(part.iters) == 7 and not bool(part.converged)
+    path = tmp_path / "arnoldi.npz"
+    ckpt.save_arnoldi_state(path, state, jnp.zeros_like(b),
+                            meta={"tol": 1e-10})
+    state2, x0, meta = ckpt.load_arnoldi_state(path)
+    assert meta["tol"] == 1e-10
+    res, _ = krylov.fgmres_resumable(mv, b, x0=x0, tol=1e-10, maxiter=80,
+                                     state=state2)
+    assert bool(res.converged)
+    assert int(res.iters) == int(full.iters)
+    np.testing.assert_allclose(np.asarray(res.x), np.asarray(full.x),
+                               rtol=1e-12, atol=1e-12)
+    h1 = np.asarray(res.res_history)
+    h2 = np.asarray(full.res_history)
+    np.testing.assert_allclose(h1[~np.isnan(h1)], h2[~np.isnan(h2)],
+                               rtol=1e-12)
+
+
+def test_fgmres_resumable_partial_iterate_valid(well_conditioned):
+    """The mid-solve result is a genuine least-squares iterate: its true
+    residual matches the recurrence estimate."""
+    A, b = well_conditioned
+    mv = lambda v: A @ v  # noqa: E731
+    part, _ = krylov.fgmres_resumable(mv, b, tol=1e-10, maxiter=80,
+                                      max_steps=10)
+    true_rel = float(jnp.linalg.norm(b - mv(part.x)) / jnp.linalg.norm(b))
+    assert abs(true_rel - float(part.relres)) < 1e-8 * (1 + true_rel)
