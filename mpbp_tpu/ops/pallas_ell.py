@@ -1,0 +1,282 @@
+"""Pallas TPU SpMV/SpMM kernels for the ELL (padded-row) sparse format.
+
+The north star names "CSR/COO/BSR formats with Pallas SpMV/SpMM/SpGEMM
+kernels"; ELL is this repo's device format (ops/sparse.py format guidance)
+and the DIA kernel (ops/pallas_dia.py) covers exact-diagonal matrices. This
+module covers the next ring out: matrices whose nonzeros live in O(1)
+*bands* — diagonals with fill, e.g. ILU/ILUT factors, the LSC products
+GtG/GtFG (reference solve.py:246-254 builds exactly these), and any stencil
+product. That is strictly more general than DIA while staying TPU-native.
+
+Why bands and not arbitrary columns: the only gather this toolchain's
+Mosaic compiler accepts is the in-lane form (take_along_axis on the
+128-lane axis; row-wise and flat gathers fail to compile — probed on the
+real chip). So the kernels never gather across rows. Host preprocessing
+(BandedELL.from_csr) buckets every entry by its 128-aligned column-offset
+band o = 128 * floor(((col - row) mod N) / 128), storing the lane residue
+rel = (col - row) mod 128. For matrix row m = 128*q + l (q the lane-row,
+l the lane), the source flat index is
+
+    m + o + rel = 128 * (q + o/128) + (l + rel),   l + rel in [0, 256)
+
+so with x kept doubled as lane-rows x2 (2R, 128), the whole row-tile's band
+sources live in the two slices x2[q0 : q0+TR] and x2[q0+1 : q0+1+TR]
+(q0 = t0 + o/128) and each entry is ONE in-lane gather from each plus a
+select. SpMM replaces the gathers with a one-hot contraction per lane-row:
+a (128, 256) coefficient patch P with P[l, l+rel] += val is built by
+broadcast-compares (pure VPU), then Y += P @ X_slab runs on the MXU.
+
+Storage: idx[m, j] = rel in [0, 128); vals[m, j]; per-band static widths.
+Padding slots carry val 0 (idx 0 gathers a value that is multiplied by 0).
+
+VMEM: SpMV keeps x2 resident (8N bytes) like the DIA kernel -> N up to
+~1.4M f32; the SpMM streams X slabs from HBM per band (X never needs to be
+VMEM-resident).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Callable
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+_LANES = 128
+_SLAB = 2 * _LANES          # per-band source window: two lane-rows
+_VMEM_BYTES = 100 * 2 ** 20
+
+
+@jax.tree_util.register_pytree_node_class
+@dataclasses.dataclass
+class BandedELL:
+    """ELL storage bucketed into 128-aligned column-offset bands."""
+
+    shape: tuple[int, int]
+    offsets: tuple[int, ...]   # static band starts, multiples of 128
+    widths: tuple[int, ...]    # static per-band ELL widths
+    idx: jax.Array    # (nrows, sum(widths)) int32, lane residues in [0, 128)
+    vals: jax.Array   # (nrows, sum(widths))
+
+    def tree_flatten(self):
+        return (self.idx, self.vals), (self.shape, self.offsets, self.widths)
+
+    @classmethod
+    def tree_unflatten(cls, aux, leaves):
+        return cls(aux[0], aux[1], aux[2], *leaves)
+
+    @property
+    def nnz(self):
+        return int(jnp.count_nonzero(self.vals))
+
+    @property
+    def total_width(self):
+        return int(self.idx.shape[1])
+
+    @classmethod
+    def from_csr(cls, csr) -> "BandedELL":
+        """Bucket a square CSR matrix (periodic column-offset convention,
+        matching DIAMatrix.from_csr(periodic=True))."""
+        nrows, ncols = csr.shape
+        assert nrows == ncols, csr.shape
+        indptr, indices, vals = csr.host_arrays()
+        rows = np.repeat(np.arange(nrows, dtype=np.int64), np.diff(indptr))
+        cdiff = (indices.astype(np.int64) - rows) % ncols
+        band = (cdiff // _LANES) * _LANES
+        rel = (cdiff % _LANES).astype(np.int32)
+        offs = np.unique(band)
+        widths, idx_cols, val_cols = [], [], []
+        for o in offs:
+            m = band == o
+            r, rl, vv = rows[m], rel[m], vals[m]
+            counts = np.bincount(r, minlength=nrows)
+            w = int(counts.max())
+            slot = np.zeros(nrows, dtype=np.int64)
+            icol = np.zeros((nrows, w), dtype=np.int32)
+            vcol = np.zeros((nrows, w), dtype=np.asarray(vals).dtype)
+            for rr, ii, v in zip(r, rl, vv):
+                icol[rr, slot[rr]] = ii
+                vcol[rr, slot[rr]] = v
+                slot[rr] += 1
+            widths.append(w)
+            idx_cols.append(icol)
+            val_cols.append(vcol)
+        return cls((nrows, ncols), tuple(int(o) for o in offs),
+                   tuple(widths), jnp.asarray(np.concatenate(idx_cols, 1)),
+                   jnp.asarray(np.concatenate(val_cols, 1)))
+
+    def matvec(self, x: jax.Array) -> jax.Array:
+        """XLA reference path: y[m] = sum vals * x[(m + o + rel) % N]."""
+        N = self.shape[0]
+        rows = jnp.arange(N, dtype=jnp.int64)[:, None]
+        y = jnp.zeros(N, x.dtype)
+        w0 = 0
+        for o, w in zip(self.offsets, self.widths):
+            src = (rows + o + self.idx[:, w0:w0 + w]) % N
+            y = y + jnp.sum(self.vals[:, w0:w0 + w] * x[src], axis=1)
+            w0 += w
+        return y
+
+
+def _tile_rows(R: int) -> int:
+    """TR = 128 keeps band slab starts uniform across a multi-block grid;
+    any TR works single-block (t0 = 0)."""
+    return _LANES if R % _LANES == 0 else R
+
+
+def ell_spmv_supported(A: BandedELL, dtype=jnp.float32,
+                       vmem_budget: int = 14 * 2 ** 20) -> bool:
+    N = A.shape[0]
+    if N % _LANES:
+        return False
+    if A.vals.dtype not in (jnp.float32, jnp.dtype(jnp.float32)):
+        return False
+    R = N // _LANES
+    TR = _tile_rows(R)
+    W = A.total_width
+    stripe = 2 * 2 * W * TR * _LANES * 4      # idx+vals, double-buffered
+    return 2 * N * 4 + stripe + TR * _LANES * 4 <= vmem_budget - 2 ** 20
+
+
+def ell_spmv_pallas(A: BandedELL, interpret: bool = False) -> Callable:
+    """Build `mv(x) -> A @ x` as one Pallas kernel (lane-gathers per band)."""
+    N = A.shape[0]
+    assert N % _LANES == 0, A.shape
+    R = N // _LANES
+    TR = _tile_rows(R)
+    n_blocks = R // TR
+    dtype = A.vals.dtype
+    offsets, widths = A.offsets, A.widths
+    W = A.total_width
+
+    # slot-major stripes: idx3[j, q, :] = lane residues of slot j for the
+    # 128 matrix rows of lane-row q
+    idx3 = jnp.moveaxis(A.idx.reshape(R, _LANES, W), 2, 0)   # (W, R, 128)
+    val3 = jnp.moveaxis(A.vals.reshape(R, _LANES, W), 2, 0)
+
+    def kernel(x2_ref, idx_ref, val_ref, out_ref):
+        t0 = pl.program_id(0) * TR
+        lane = jax.lax.broadcasted_iota(jnp.int32, (TR, _LANES), 1)
+        acc = jnp.zeros((TR, _LANES), dtype)
+        w0 = 0
+        for o, wb in zip(offsets, widths):
+            q0 = t0 + (o // _LANES)
+            slabA = x2_ref[pl.ds(q0, TR), :]          # row t <- x2[q0 + t]
+            slabB = x2_ref[pl.ds(q0 + 1, TR), :]
+            for j in range(w0, w0 + wb):
+                s = lane + idx_ref[j, :, :]           # slab position [0,256)
+                gA = jnp.take_along_axis(
+                    slabA, jnp.minimum(s, _LANES - 1), axis=1)
+                gB = jnp.take_along_axis(
+                    slabB, jnp.maximum(s - _LANES, 0), axis=1)
+                acc = acc + val_ref[j, :, :] * jnp.where(s < _LANES, gA, gB)
+            w0 += wb
+        out_ref[:, :] = acc
+
+    call = pl.pallas_call(
+        kernel,
+        grid=(n_blocks,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.VMEM),             # x2 (2R, 128)
+            pl.BlockSpec((W, TR, _LANES), lambda i: (0, i, 0),
+                         memory_space=pltpu.VMEM),             # idx stripe
+            pl.BlockSpec((W, TR, _LANES), lambda i: (0, i, 0),
+                         memory_space=pltpu.VMEM),             # vals stripe
+        ],
+        out_specs=pl.BlockSpec((TR, _LANES), lambda i: (i, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((R, _LANES), dtype),
+        interpret=interpret,
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=_VMEM_BYTES),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * W * N, transcendentals=0,
+            bytes_accessed=(2 * W + 3) * N * 4),
+    )
+
+    def mv(x: jax.Array) -> jax.Array:
+        xr = x.reshape(R, _LANES)
+        x2 = jnp.concatenate([xr, xr], axis=0)        # periodic wrap
+        return call(x2, idx3, val3).reshape(N)
+
+    return mv
+
+
+def ell_spmm_pallas(A: BandedELL, k: int,
+                    interpret: bool = False) -> Callable:
+    """Build `mm(X) -> A @ X` for X (N, k): one-hot MXU contraction.
+
+    Grid = one program per lane-row (128 matrix rows). Per band b: DMA the
+    (256, kp) X slab from HBM, build the (128, 256) one-hot patch P with
+    P[l, l + rel] += val by `widths[b]` broadcast-compares (VPU), then
+    acc += P @ slab on the MXU. No gathers at all, so this path has no
+    toolchain caveats; X streams from HBM once per band per program
+    (bands * 2 passes over X in total — SpMM trades X traffic for MXU use).
+    """
+    N = A.shape[0]
+    assert N % _LANES == 0, A.shape
+    R = N // _LANES
+    dtype = A.vals.dtype
+    offsets, widths = A.offsets, A.widths
+    W = A.total_width
+    kp = max(_LANES, ((k + _LANES - 1) // _LANES) * _LANES)  # lane-pad k
+
+    idx3 = jnp.moveaxis(A.idx.reshape(R, _LANES, W), 2, 0)   # (W, R, 128)
+    val3 = jnp.moveaxis(A.vals.reshape(R, _LANES, W), 2, 0)
+
+    def kernel(x2_hbm, idx_ref, val_ref, out_ref, slab_vmem, sem):
+        q = pl.program_id(0)
+        l_iota = jax.lax.broadcasted_iota(jnp.int32, (_LANES, _SLAB), 0)
+        s_iota = jax.lax.broadcasted_iota(jnp.int32, (_LANES, _SLAB), 1)
+        acc = jnp.zeros((_LANES, kp), jnp.float32)
+        w0 = 0
+        for o, wb in zip(offsets, widths):
+            row0 = (q + o // _LANES) * _LANES
+            cp = pltpu.make_async_copy(
+                x2_hbm.at[pl.ds(row0, _SLAB), :], slab_vmem, sem)
+            cp.start()
+            P = jnp.zeros((_LANES, _SLAB), dtype)
+            for j in range(w0, w0 + wb):
+                rel = idx_ref[j, 0, :]                       # (128,)
+                v = val_ref[j, 0, :]
+                P = P + jnp.where(s_iota == l_iota + rel[:, None],
+                                  v[:, None], jnp.zeros((), dtype))
+            cp.wait()
+            acc = acc + jnp.dot(P, slab_vmem[:, :],
+                                preferred_element_type=jnp.float32)
+            w0 += wb
+        out_ref[:, :] = acc.astype(dtype)
+
+    call = pl.pallas_call(
+        kernel,
+        grid=(R,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pl.ANY),                # X2 (2N, kp)
+            pl.BlockSpec((W, 1, _LANES), lambda i: (0, i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((W, 1, _LANES), lambda i: (0, i, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((_LANES, kp), lambda i: (i, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((N, kp), dtype),
+        scratch_shapes=[
+            pltpu.VMEM((_SLAB, kp), dtype),
+            pltpu.SemaphoreType.DMA,
+        ],
+        interpret=interpret,
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=_VMEM_BYTES),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * len(offsets) * N * _SLAB * kp, transcendentals=0,
+            bytes_accessed=(2 * W + kp * (2 * len(offsets) + 1)) * N * 4),
+    )
+
+    def mm(X: jax.Array) -> jax.Array:
+        Xp = jnp.pad(X, ((0, 0), (0, kp - X.shape[1]))) \
+            if X.shape[1] != kp else X
+        X2 = jnp.concatenate([Xp, Xp], axis=0)        # periodic wrap
+        return call(X2, idx3, val3)[:, :k]
+
+    return mm
