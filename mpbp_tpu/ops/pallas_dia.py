@@ -151,3 +151,112 @@ def dia_spmv_pallas(A: DIAMatrix, block_rows: int = 128,
         return call(x2, data3).reshape(N)
 
     return mv
+
+
+# ---------------------------------------------------------------------------
+# Streamed variant: x in HBM, per-diagonal windows DMAed per row block.
+# Lifts the resident kernel's ~1.4M-row VMEM ceiling (the 1024^2 multiphase
+# system is N = 5.24M; 2048^2 is 21M) at the cost of re-reading x once per
+# diagonal: traffic ~2KN vs (K+3)N, i.e. ~50% of the resident kernel's
+# throughput bound — still >500x the scipy CPU baseline at 1024^2.
+# ---------------------------------------------------------------------------
+def dia_spmv_streamed_supported(A: DIAMatrix, dtype=jnp.float32,
+                                vmem_budget: int = 14 * 2 ** 20,
+                                block_rows: int = 64) -> bool:
+    """True when the streamed Pallas path can run A on a real TPU core —
+    the budget is N-independent (windows + stripes only)."""
+    nrows, ncols = A.shape
+    if nrows != ncols or nrows % _LANES:
+        return False
+    if dtype not in (jnp.float32, jnp.dtype(jnp.float32)):
+        return False
+    R = nrows // _LANES
+    K = len(A.offsets)
+    TR = _pick_block_rows(R, K, block_rows)
+    win = K * (TR + 8) * (_LANES * 4)             # DMA windows (resident)
+    stripe = 2 * (K + 1) * TR * (_LANES * 4)      # data + out, dbl-buffered
+    return win + stripe <= vmem_budget - 2 ** 20
+
+
+def dia_spmv_pallas_streamed(A: DIAMatrix, block_rows: int = 64,
+                             interpret: bool = False) -> Callable:
+    """Build `mv(x) -> A @ x` with x streamed from HBM per diagonal.
+
+    Same math as dia_spmv_pallas; instead of keeping the doubled x resident
+    in VMEM, each grid program issues one aligned async copy per diagonal
+    (start rounded down to the 8-row sublane tile; the static residue is
+    sliced off in VMEM, where unaligned reads are free).
+    """
+    N, ncols = A.shape
+    assert N == ncols and N % _LANES == 0, A.shape
+    R = N // _LANES
+    assert R >= 8, "streamed kernel needs N >= 1024 (use the resident one)"
+    K = len(A.offsets)
+    dtype = A.data.dtype
+
+    TR = _pick_block_rows(R, K, block_rows)
+    n_blocks = R // TR
+
+    offs = [int(o) % N for o in A.offsets]
+    rs = [o // _LANES for o in offs]
+    cs = [o % _LANES for o in offs]
+    r8s = [(r // 8) * 8 for r in rs]     # aligned DMA start offsets
+    rems = [r - r8 for r, r8 in zip(rs, r8s)]
+    WIN = TR + 8                         # covers rem (<8) + TR + 1 rows
+
+    data3 = A.data.reshape(K, R, _LANES)
+
+    def kernel(x2_hbm, d_ref, out_ref, xwin, sems):
+        t0 = pl.program_id(0) * TR
+        copies = []
+        for k in range(K):
+            copies.append(pltpu.make_async_copy(
+                x2_hbm.at[pl.ds(t0 + r8s[k], WIN), :], xwin.at[k],
+                sems.at[k]))
+        for c in copies:
+            c.start()
+        col_ids = jax.lax.broadcasted_iota(jnp.int32, (TR, _LANES), 1)
+        acc = jnp.zeros((TR, _LANES), dtype)
+        for k in range(K):
+            copies[k].wait()
+            rem, c = rems[k], cs[k]
+            win = xwin[k, rem:rem + TR + 1, :]           # (TR+1, 128)
+            if c == 0:
+                y = win[:TR, :]
+            else:
+                arot = jnp.roll(win[:TR, :], -c, axis=1)
+                brot = jnp.roll(win[1:TR + 1, :], -c, axis=1)
+                y = jnp.where(col_ids < _LANES - c, arot, brot)
+            acc = acc + d_ref[k, :, :] * y
+        out_ref[:, :] = acc
+
+    call = pl.pallas_call(
+        kernel,
+        grid=(n_blocks,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pl.ANY),              # x2 in HBM
+            pl.BlockSpec((K, TR, _LANES), lambda i: (0, i, 0),
+                         memory_space=pltpu.VMEM),          # data stripe
+        ],
+        out_specs=pl.BlockSpec((TR, _LANES), lambda i: (i, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((R, _LANES), dtype),
+        scratch_shapes=[
+            pltpu.VMEM((K, WIN, _LANES), dtype),
+            pltpu.SemaphoreType.DMA((K,)),
+        ],
+        interpret=interpret,
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=_VMEM_BYTES),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * K * N, transcendentals=0,
+            bytes_accessed=2 * K * N * np.dtype(np.float32).itemsize),
+    )
+
+    def mv(x: jax.Array) -> jax.Array:
+        xr = x.reshape(R, _LANES)
+        # doubled + 8 pad rows so every aligned window is in bounds
+        x2 = jnp.concatenate([xr, xr, xr[:8]], axis=0)
+        return call(x2, data3).reshape(N)
+
+    return mv
