@@ -1,0 +1,72 @@
+"""Device-kernel dispatch for general sparse matvecs.
+
+Picks the fastest supported TPU path for a matrix by structure:
+
+  1. resident Pallas DIA  — exact-diagonal matrices that fit VMEM
+     (gather-free; ~(K+3)N traffic — the speed-of-light path);
+  2. streamed Pallas DIA  — exact-diagonal, any N (x windows DMAed
+     from HBM; ~2KN traffic);
+  3. banded-ELL Pallas    — nonzeros in O(1) 128-wide bands (diagonals
+     with fill: ILU/ILUT factors, LSC products);
+  4. XLA fallback         — roll-based DIA / gather ELL / segment-sum CSR.
+
+The reference delegates this choice to scipy/PETSc format machinery
+(reference solve.py:250-254, preconditioner.py:344); here the containers
+are pytrees and the choice is a host-side structural decision made once
+per operator, which is the XLA-friendly split (static structure, traced
+payload).
+"""
+
+from __future__ import annotations
+
+from typing import Callable
+
+import jax.numpy as jnp
+import numpy as np
+
+from mpbp_tpu.ops.dia import DIAMatrix
+from mpbp_tpu.ops.pallas_dia import (dia_spmv_pallas, dia_spmv_pallas_streamed,
+                                     dia_spmv_streamed_supported,
+                                     dia_spmv_supported)
+from mpbp_tpu.ops.pallas_ell import (BandedELL, ell_spmv_pallas,
+                                     ell_spmv_supported)
+from mpbp_tpu.ops.sparse import CSRMatrix
+
+# DIA is worthwhile while the diagonal payload K*N stays within ~3x the
+# nnz (zero-padded diagonals stream dead bytes); beyond that the banded
+# ELL layout is denser.
+_DIA_PAD_RATIO = 3.0
+_MAX_DIA = 96
+
+
+def best_spmv(csr: CSRMatrix, dtype=jnp.float32,
+              interpret: bool = False) -> tuple[Callable, str]:
+    """Return (matvec, path_name) for a square CSR matrix.
+
+    path_name in {"dia", "dia_streamed", "ell", "xla"} — recorded so
+    callers/benchmarks can report which kernel actually ran.
+    """
+    nrows, ncols = csr.shape
+    vals32 = csr.vals.astype(dtype)
+    csr32 = CSRMatrix(csr.shape, csr.indptr, csr.indices, vals32)
+    if nrows != ncols or nrows % 128:
+        return csr32.matvec, "xla"
+
+    indptr, indices, _ = csr.host_arrays()
+    rows = np.repeat(np.arange(nrows, dtype=np.int64), np.diff(indptr))
+    offs = np.unique((indices.astype(np.int64) - rows) % ncols)
+    K = len(offs)
+    nnz = csr.nnz
+
+    if K <= _MAX_DIA and K * nrows <= _DIA_PAD_RATIO * nnz:
+        dia = DIAMatrix.from_csr(csr32, periodic=True)
+        if dia_spmv_supported(dia, dtype):
+            return dia_spmv_pallas(dia, interpret=interpret), "dia"
+        if dia_spmv_streamed_supported(dia, dtype):
+            return (dia_spmv_pallas_streamed(dia, interpret=interpret),
+                    "dia_streamed")
+
+    ell = BandedELL.from_csr(csr32)
+    if ell_spmv_supported(ell, dtype):
+        return ell_spmv_pallas(ell, interpret=interpret), "ell"
+    return ell.matvec, "xla"

@@ -140,3 +140,47 @@ def test_dia_general_nonperiodic():
     x = jnp.asarray(rng.normal(size=n))
     np.testing.assert_allclose(np.asarray(dia.matvec(x)), A @ np.asarray(x),
                                rtol=1e-12)
+
+
+def test_best_spmv_dispatch():
+    """ops.dispatch picks the structurally right kernel and all paths
+    agree numerically."""
+    import numpy as np
+    from mpbp_tpu.ops.dispatch import best_spmv
+    from mpbp_tpu.ops.sparse import CSRMatrix
+
+    rng = np.random.default_rng(0)
+    N = 512
+    # exact tridiagonal -> dia
+    r = np.arange(N)
+    rows = np.concatenate([r, r, r])
+    cols = np.concatenate([r, (r + 1) % N, (r - 1) % N])
+    vals = rng.standard_normal(3 * N).astype(np.float32)
+    tri = CSRMatrix.from_coo(N, N, rows, cols, vals)
+    mv, path = best_spmv(tri, interpret=True)
+    assert path == "dia"
+    x = jnp.asarray(rng.standard_normal(N), jnp.float32)
+    np.testing.assert_allclose(np.asarray(mv(x)), np.asarray(tri.matvec(x)),
+                               rtol=1e-5, atol=1e-5)
+
+    # scattered band around the diagonal (200 distinct offsets) -> ell
+    rows2, cols2 = [], []
+    for _ in range(6):
+        d = rng.integers(-100, 100)
+        rows2.append(r)
+        cols2.append((r + d + rng.integers(0, 9, N)) % N)
+    band = CSRMatrix.from_coo(N, N, np.concatenate(rows2),
+                              np.concatenate(cols2),
+                              rng.standard_normal(6 * N).astype(np.float32))
+    mv2, path2 = best_spmv(band, interpret=True)
+    assert path2 == "ell"
+    np.testing.assert_allclose(np.asarray(mv2(x)), np.asarray(band.matvec(x)),
+                               rtol=1e-5, atol=1e-5)
+
+    # non-128-multiple N -> xla fallback
+    odd = CSRMatrix.from_coo(300, 300, np.arange(300), np.arange(300),
+                             np.ones(300, np.float32))
+    mv3, path3 = best_spmv(odd)
+    assert path3 == "xla"
+    x3 = jnp.ones(300, jnp.float32)
+    np.testing.assert_allclose(np.asarray(mv3(x3)), np.ones(300), rtol=1e-6)
