@@ -1,0 +1,120 @@
+"""Functional sharded solves at configs[4] scale (1024^2+), virtual mesh.
+
+BASELINE configs[4] is "1024^2-2048^2 multiphase Stokes row/block-
+partitioned across N >= 2 hosts". Real multi-chip hardware is not available
+in this container, so this harness certifies the two things that CAN be
+certified here (SURVEY.md section 4 multi-chip strategy):
+
+  1. the FULL sharded solve path (row-sharded operator, halo collectives,
+     psum Arnoldi, sharded LSC/MG preconditioner) converges at 1024^2 on an
+     8-device mesh (virtual CPU devices; the same program runs on a pod
+     slice unchanged), and
+  2. outer iteration counts are device-count-invariant (1/2/4/8), which is
+     the correctness half of weak scaling — the throughput half is recorded
+     separately by bench.py / benchmarks/scaling.py on the real chip.
+
+Usage:
+  XLA_FLAGS=--xla_force_host_platform_device_count=8 JAX_PLATFORMS=cpu \
+    python benchmarks/big_sharded.py --n 1024 --devices 8
+  python benchmarks/big_sharded.py --invariance --n 256 --devices 1 2 4 8
+Prints one JSON line per run.
+"""
+
+from __future__ import annotations
+
+import os as _os
+import sys as _sys
+
+_REPO_ROOT = _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__)))
+if _REPO_ROOT not in _sys.path:
+    _sys.path.insert(0, _REPO_ROOT)
+
+import argparse
+import json
+import sys
+import time
+
+
+def log(*a):
+    print(*a, file=sys.stderr, flush=True)
+
+
+def solve_once(n: int, n_devices: int, pc_kind: str, tol: float,
+               maxiter: int, inner_tol: float, inner_iters: int):
+    import jax
+
+    jax.config.update("jax_enable_x64", True)
+    import jax.numpy as jnp
+
+    from mpbp_tpu.drivers import make_preconditioner
+    from mpbp_tpu.models import mms
+    from mpbp_tpu.models.multiphase import make_multiphase_operator
+    from mpbp_tpu.parallel import sharding as sh
+    from mpbp_tpu.utils.norms import norms_report
+
+    t0 = time.time()
+    op = make_multiphase_operator(n, c=1.0, d=-1.0, xi=1.0, eta_n=100.0,
+                                  eta_s=1.0, dtype=jnp.float64)
+    prob = mms.variable_thn_problem(1.0, -1.0, 1.0, 100.0, 1.0)
+    u_exact, b = mms.fill_sol_and_rhs(op.grid, prob)
+    t_asm = time.time() - t0
+    log(f"n={n} devices={n_devices}: assembly {t_asm:.1f}s "
+        f"(N={5*n*n/1e6:.2f}M unknowns)")
+
+    mesh = sh.make_mesh(n_devices)
+    sop = sh.shard_multiphase(op, mesh)
+    M = make_preconditioner(sop, pc_kind, dtype=jnp.float64,
+                            inner_tol=inner_tol, inner_iters=inner_iters)
+
+    t0 = time.time()
+    res = sh.sharded_solve(sop, b, mesh, tol=tol, maxiter=maxiter, pc=M)
+    relres = float(res.relres)
+    t_solve = time.time() - t0
+
+    err = norms_report(sh.unstack_state(res.x), u_exact,
+                       op.grid.dx, op.grid.dy)
+    return {
+        "metric": "sharded_solve",
+        "n": n,
+        "devices": n_devices,
+        "pc": pc_kind,
+        "unknowns": 5 * n * n,
+        "iters": int(res.iters),
+        "relres": relres,
+        "converged": bool(res.converged),
+        "solve_s": round(t_solve, 1),
+        "error_l2": err["l2"],
+    }
+
+
+def main(argv=None):
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--n", type=int, default=1024)
+    ap.add_argument("--devices", type=int, nargs="+", default=[8])
+    ap.add_argument("--pc", default="lsc_mg_full")
+    ap.add_argument("--tol", type=float, default=1e-8)
+    ap.add_argument("--maxiter", type=int, default=40)
+    ap.add_argument("--inner-tol", type=float, default=1e-4)
+    ap.add_argument("--inner-iters", type=int, default=40)
+    ap.add_argument("--invariance", action="store_true",
+                    help="run every device count and assert equal iters")
+    args = ap.parse_args(argv)
+
+    results = []
+    for nd in args.devices:
+        r = solve_once(args.n, nd, args.pc, args.tol, args.maxiter,
+                       args.inner_tol, args.inner_iters)
+        print(json.dumps(r), flush=True)
+        results.append(r)
+
+    if args.invariance and len(results) > 1:
+        iters = {r["devices"]: r["iters"] for r in results}
+        invariant = len(set(iters.values())) == 1
+        print(json.dumps({"metric": "iteration_invariance",
+                          "n": args.n, "iters_by_devices": iters,
+                          "invariant": invariant}), flush=True)
+    return results
+
+
+if __name__ == "__main__":
+    main()

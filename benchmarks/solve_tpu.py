@@ -59,6 +59,10 @@ def main(argv=None):
     import jax
 
     jax.config.update("jax_enable_x64", True)
+    # TPU f32 dots default to a truncated-mantissa MXU mode; anything
+    # matmul-shaped in the PC (MG coarse solves, Arnoldi projections) must
+    # run at true f32 or the inner solves plateau early.
+    jax.config.update("jax_default_matmul_precision", "highest")
     cache = os.path.join(os.path.dirname(os.path.dirname(
         os.path.abspath(__file__))), ".jax_cache_tpu")
     jax.config.update("jax_compilation_cache_dir", cache)
@@ -66,8 +70,10 @@ def main(argv=None):
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 0)
 
     import jax.numpy as jnp
+    import numpy as np
 
-    from mpbp_tpu.drivers import a_matvec, make_preconditioner, pack_fields
+    from mpbp_tpu.drivers import (a_matvec, make_preconditioner,
+                                  make_preconditioner_mixed, pack_fields)
     from mpbp_tpu.models import mms
     from mpbp_tpu.models.multiphase import make_multiphase_operator
     from mpbp_tpu.solvers.mixed import block_scales, fgmres_ir
@@ -98,12 +104,14 @@ def main(argv=None):
             M = make_preconditioner(op64, args.pc, dtype=jnp.float64,
                                     inner_tol=1e-4, inner_iters=40)
         else:
-            M32 = make_preconditioner(op32, args.pc, dtype=jnp.float32,
-                                      inner_tol=1e-4, inner_iters=40)
-            # flexible GMRES: the PC may be any (varying) operator, so
-            # casting through f32 only weakens the PC slightly — the f64
-            # outer Arnoldi still certifies the 1e-8 residual.
-            M = lambda v: M32(v.astype(jnp.float32)).astype(jnp.float64)  # noqa: E731
+            # f64 LSC formula glue around f32 inner solves: measured on
+            # chip, the all-f32 glue (a bare cast around make_preconditioner)
+            # stalls the 512^2 outer FGMRES at ~2.5e-4 — the f32 noise in the
+            # D/G/GtFG products caps the PC quality. The mixed assembly keeps
+            # those products in f64 (cheap: they are O(nnz) stencil applies)
+            # while all inner MG/Krylov work stays f32.
+            M = make_preconditioner_mixed(op64, op32, args.pc,
+                                          inner_tol=1e-4, inner_iters=40)
         t_pc = time.time() - t0
         log(f"preconditioner setup: {t_pc:.2f}s")
 
@@ -118,8 +126,12 @@ def main(argv=None):
             return res, relres, time.time() - t0
 
         res, relres, t_first = run()
+        hist = np.asarray(res.res_history)
+        hist = hist[~np.isnan(hist)]
         log(f"first solve (compile+run): {t_first:.2f}s "
             f"-> relres {relres:.2e}")
+        log("history:", " ".join(f"{h:.2e}" for h in hist[::8]),
+            f"... {hist[-1]:.2e}")
         res, relres, t_solve = run()
         outer, inner = int(res.iters), int(res.iters)
         converged = bool(res.converged) and relres < args.tol * 10
@@ -149,6 +161,7 @@ def main(argv=None):
         res, t_first = run()          # includes compile
         log(f"first solve (compile+run): {t_first:.2f}s "
             f"-> relres {res.relres:.2e}")
+        log("outer history:", " ".join(f"{h:.2e}" for h in res.history))
         res, t_solve = run()          # warm
         outer, inner = res.outer_iters, res.total_inner_iters
         relres, converged, x = res.relres, bool(res.converged), res.x
