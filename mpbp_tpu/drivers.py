@@ -19,6 +19,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from mpbp_tpu.models import mms
+from mpbp_tpu.models.fused import make_fused_apply
 from mpbp_tpu.models.multiphase import (ALL_FIELDS, MultiphaseOperator,
                                         make_multiphase_operator)
 from mpbp_tpu.solvers import gmres as krylov
@@ -69,8 +70,24 @@ def unpack_fields(op: MultiphaseOperator, v: jax.Array) -> dict:
             for i, f in enumerate(ALL_FIELDS)}
 
 
-def a_matvec(op: MultiphaseOperator) -> Callable:
-    """Flat matrix-free matvec for the coupled operator A."""
+def a_matvec(op: MultiphaseOperator, fused: bool = True) -> Callable:
+    """Flat matrix-free matvec for the coupled operator A.
+
+    Default is the FUSED apply (models/fused.py): coefficients are recomputed
+    from the theta planes in registers instead of streaming ~56 precomputed
+    planes from HBM — numerically equal to the assembled apply to 1e-12
+    (tests/test_fused.py) and ~5-7x faster on chip (the whole HBM-traffic
+    story of a stencil SpMV). `fused=False` keeps the generic
+    StencilOperator.apply, e.g. for operators modified after assembly."""
+    if fused:
+        fmv = make_fused_apply(op)
+        nf = len(ALL_FIELDS)
+        n = op.grid.n
+
+        def mv(v):
+            return fmv(v.reshape(nf, n, n)).reshape(v.shape)
+
+        return mv
 
     def mv(v):
         return pack_fields(op, op.A.apply(unpack_fields(op, v)))

@@ -127,6 +127,21 @@ class PhaseFields:
 
 def make_phase_fields(grid: MACGrid, theta_fn) -> PhaseFields:
     T = grid.eval_at_cells(theta_fn)
+    return make_phase_fields_from_planes(
+        grid, T,
+        xface_pt=grid.eval_at_ufaces(theta_fn),
+        yface_pt=grid.eval_at_vfaces(theta_fn),
+    )
+
+
+def make_phase_fields_from_planes(grid: MACGrid, cell,
+                                  xface_pt=None, yface_pt=None) -> PhaseFields:
+    """PhaseFields from explicit theta planes — tabulated / data-driven /
+    checkpoint-restored theta with no closed form. The averaged face and
+    node planes are always derived from the cell plane by the reference's
+    averaging rules (reference preconditioner.py:112-120); the pointwise
+    mass-term planes default to the face averages when not supplied."""
+    T = jnp.asarray(cell, grid.dtype)
     xface = 0.5 * (shift(T, 0, -1) + T)
     yface = 0.5 * (shift(T, -1, 0) + T)
     node = 0.25 * (shift(T, -1, -1) + shift(T, -1, 0) + shift(T, 0, -1) + T)
@@ -135,6 +150,8 @@ def make_phase_fields(grid: MACGrid, theta_fn) -> PhaseFields:
         xface=xface,
         yface=yface,
         node=node,
-        xface_pt=grid.eval_at_ufaces(theta_fn),
-        yface_pt=grid.eval_at_vfaces(theta_fn),
+        xface_pt=(jnp.asarray(xface_pt, grid.dtype)
+                  if xface_pt is not None else xface),
+        yface_pt=(jnp.asarray(yface_pt, grid.dtype)
+                  if yface_pt is not None else yface),
     )

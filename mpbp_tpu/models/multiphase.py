@@ -49,7 +49,9 @@ from typing import Callable
 import jax
 import jax.numpy as jnp
 
-from mpbp_tpu.models.fields import MACGrid, PhaseFields, default_thn, make_phase_fields
+from mpbp_tpu.models.fields import (MACGrid, PhaseFields, default_thn,
+                                    make_phase_fields,
+                                    make_phase_fields_from_planes)
 from mpbp_tpu.ops.stencil import StencilOperator, diagonal_operator, shift
 
 VEL_FIELDS = ("un", "vn", "us", "vs")
@@ -218,16 +220,31 @@ def make_multiphase_operator(
     d_div: float = -1.0,
     thn_fn: Callable = default_thn,
     dtype=jnp.float64,
+    theta_planes: dict | None = None,
 ) -> MultiphaseOperator:
     """Assemble the coupled multiphase Stokes operator (capability of
-    reference preconditioner.py:299-341) on an n x n periodic MAC grid."""
+    reference preconditioner.py:299-341) on an n x n periodic MAC grid.
+
+    `theta_planes` injects explicit theta_n planes instead of evaluating
+    `thn_fn` — keys: "cell" (required, (n, n)), "xface_pt"/"yface_pt"
+    (optional pointwise face planes for the mass term). This is the
+    checkpoint-restore / data-driven-theta path (utils/checkpoint.py)."""
     grid = MACGrid(n, dtype=dtype)
 
-    def ths_fn(y, x):
-        return 1.0 - thn_fn(y, x)
+    if theta_planes is not None:
+        ph_n = make_phase_fields_from_planes(
+            grid, theta_planes["cell"],
+            xface_pt=theta_planes.get("xface_pt"),
+            yface_pt=theta_planes.get("yface_pt"))
+        ph_s = make_phase_fields_from_planes(
+            grid, 1.0 - ph_n.cell,
+            xface_pt=(1.0 - ph_n.xface_pt), yface_pt=(1.0 - ph_n.yface_pt))
+    else:
+        def ths_fn(y, x):
+            return 1.0 - thn_fn(y, x)
 
-    ph_n = make_phase_fields(grid, thn_fn)
-    ph_s = make_phase_fields(grid, ths_fn)
+        ph_n = make_phase_fields(grid, thn_fn)
+        ph_s = make_phase_fields(grid, ths_fn)
 
     Gn = gradient_operator(ph_n, grid, "un", "vn", "p")
     Gs = gradient_operator(ph_s, grid, "us", "vs", "p")

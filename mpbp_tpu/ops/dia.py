@@ -53,9 +53,10 @@ class DIAMatrix:
             offs = indices.astype(np.int64) - rows
         uniq = np.unique(offs)
         data = np.zeros((len(uniq), nrows), dtype=np.asarray(vals).dtype)
-        omap = {int(o): k for k, o in enumerate(uniq)}
-        for r, o, v in zip(rows, offs, vals):
-            data[omap[int(o)], r] += v
+        # vectorized scatter-add (a per-nonzero Python loop here costs
+        # minutes at the 1024^2-scale matrices, ~60M nnz)
+        okeys = np.searchsorted(uniq, offs)
+        np.add.at(data, (okeys, rows), np.asarray(vals))
         return cls(csr.shape, tuple(int(o) for o in uniq), jnp.asarray(data))
 
     def matvec(self, x: jax.Array) -> jax.Array:

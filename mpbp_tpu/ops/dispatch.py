@@ -45,12 +45,15 @@ def best_spmv(csr: CSRMatrix, dtype=jnp.float32,
 
     path_name in {"dia", "dia_streamed", "ell", "xla"} — recorded so
     callers/benchmarks can report which kernel actually ran.
-    """
+
+    dtype contract: the Pallas paths run at `dtype` (f32 — the TPU-native
+    precision; callers needing f64 residual certification do it at the
+    outer-Krylov level, solvers/mixed.py). The "xla" fallback keeps the
+    matrix's ORIGINAL dtype — an f64 CSR stays an f64 matvec (advisor r2:
+    the old unconditional cast silently downgraded f64 callers)."""
     nrows, ncols = csr.shape
-    vals32 = csr.vals.astype(dtype)
-    csr32 = CSRMatrix(csr.shape, csr.indptr, csr.indices, vals32)
     if nrows != ncols or nrows % 128:
-        return csr32.matvec, "xla"
+        return csr.matvec, "xla"
 
     indptr, indices, _ = csr.host_arrays()
     rows = np.repeat(np.arange(nrows, dtype=np.int64), np.diff(indptr))
@@ -58,15 +61,23 @@ def best_spmv(csr: CSRMatrix, dtype=jnp.float32,
     K = len(offs)
     nnz = csr.nnz
 
+    vals_c = csr.vals.astype(dtype)
+    csr_c = CSRMatrix(csr.shape, csr.indptr, csr.indices, vals_c)
+
     if K <= _MAX_DIA and K * nrows <= _DIA_PAD_RATIO * nnz:
-        dia = DIAMatrix.from_csr(csr32, periodic=True)
+        dia = DIAMatrix.from_csr(csr_c, periodic=True)
         if dia_spmv_supported(dia, dtype):
             return dia_spmv_pallas(dia, interpret=interpret), "dia"
         if dia_spmv_streamed_supported(dia, dtype):
             return (dia_spmv_pallas_streamed(dia, interpret=interpret),
                     "dia_streamed")
 
-    ell = BandedELL.from_csr(csr32)
-    if ell_spmv_supported(ell, dtype):
-        return ell_spmv_pallas(ell, interpret=interpret), "ell"
-    return ell.matvec, "xla"
+    # ELL pre-gate: the SpMV kernel keeps the doubled x resident in VMEM
+    # (8N bytes); when that alone busts the budget, skip the (host-side)
+    # ELL conversion entirely (advisor r2: huge matrices paid the
+    # conversion only to land on the fallback anyway).
+    if 2 * nrows * 4 <= 13 * 2 ** 20:
+        ell = BandedELL.from_csr(csr_c)
+        if ell_spmv_supported(ell, dtype):
+            return ell_spmv_pallas(ell, interpret=interpret), "ell"
+    return csr.matvec, "xla"

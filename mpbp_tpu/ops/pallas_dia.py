@@ -160,6 +160,26 @@ def dia_spmv_pallas(A: DIAMatrix, block_rows: int = 128,
 # diagonal: traffic ~2KN vs (K+3)N, i.e. ~50% of the resident kernel's
 # throughput bound — still >500x the scipy CPU baseline at 1024^2.
 # ---------------------------------------------------------------------------
+def _pick_block_rows_streamed(R: int, K: int, block_rows: int = 64) -> int:
+    """TR for the streamed kernel: a divisor of R that keeps every DMA start
+    t0 + r8 8-sublane-aligned — i.e. TR % 8 == 0, or TR == R (single block,
+    t0 = 0) — within the ~4 MB stripe budget (advisor r2: _pick_block_rows
+    could return TR % 8 != 0, silently breaking the aligned-start
+    invariant)."""
+    divs = []
+    i = 1
+    while i * i <= R:
+        if R % i == 0:
+            divs += [i, R // i]
+        i += 1
+    cands = sorted({d for d in divs if d % 8 == 0 or d == R})
+    budget = [d for d in cands if 2 * K * d * (_LANES * 4) <= 4 * 2 ** 20]
+    small = [d for d in budget if d <= max(block_rows, 8)]
+    if small:
+        return max(small)
+    return min(budget) if budget else min(cands)
+
+
 def dia_spmv_streamed_supported(A: DIAMatrix, dtype=jnp.float32,
                                 vmem_budget: int = 14 * 2 ** 20,
                                 block_rows: int = 64) -> bool:
@@ -168,11 +188,13 @@ def dia_spmv_streamed_supported(A: DIAMatrix, dtype=jnp.float32,
     nrows, ncols = A.shape
     if nrows != ncols or nrows % _LANES:
         return False
+    if nrows < 8 * _LANES:       # builder requires R >= 8 (advisor r2)
+        return False
     if dtype not in (jnp.float32, jnp.dtype(jnp.float32)):
         return False
     R = nrows // _LANES
     K = len(A.offsets)
-    TR = _pick_block_rows(R, K, block_rows)
+    TR = _pick_block_rows_streamed(R, K, block_rows)
     win = K * (TR + 8) * (_LANES * 4)             # DMA windows (resident)
     stripe = 2 * (K + 1) * TR * (_LANES * 4)      # data + out, dbl-buffered
     return win + stripe <= vmem_budget - 2 ** 20
@@ -185,7 +207,8 @@ def dia_spmv_pallas_streamed(A: DIAMatrix, block_rows: int = 64,
     Same math as dia_spmv_pallas; instead of keeping the doubled x resident
     in VMEM, each grid program issues one aligned async copy per diagonal
     (start rounded down to the 8-row sublane tile; the static residue is
-    sliced off in VMEM, where unaligned reads are free).
+    sliced off in VMEM, where unaligned reads are free). TR is chosen so
+    t0 = i*TR is always 8-aligned (TR % 8 == 0, or a single block).
     """
     N, ncols = A.shape
     assert N == ncols and N % _LANES == 0, A.shape
@@ -194,7 +217,7 @@ def dia_spmv_pallas_streamed(A: DIAMatrix, block_rows: int = 64,
     K = len(A.offsets)
     dtype = A.data.dtype
 
-    TR = _pick_block_rows(R, K, block_rows)
+    TR = _pick_block_rows_streamed(R, K, block_rows)
     n_blocks = R // TR
 
     offs = [int(o) % N for o in A.offsets]

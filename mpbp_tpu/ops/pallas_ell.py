@@ -94,13 +94,18 @@ class BandedELL:
             r, rl, vv = rows[m], rel[m], vals[m]
             counts = np.bincount(r, minlength=nrows)
             w = int(counts.max())
-            slot = np.zeros(nrows, dtype=np.int64)
+            # vectorized slot assignment: entries of one band arrive in CSR
+            # (row-major) order, so r is nondecreasing and an entry's ELL
+            # slot is its rank within its row's run (advisor r2: the
+            # per-nonzero Python loop was O(nnz) interpreted iterations —
+            # ~100M+ at the 1024^2-2048^2 scale)
+            starts = np.zeros(nrows + 1, np.int64)
+            starts[1:] = np.cumsum(counts)
+            slot = np.arange(len(r), dtype=np.int64) - starts[r]
             icol = np.zeros((nrows, w), dtype=np.int32)
             vcol = np.zeros((nrows, w), dtype=np.asarray(vals).dtype)
-            for rr, ii, v in zip(r, rl, vv):
-                icol[rr, slot[rr]] = ii
-                vcol[rr, slot[rr]] = v
-                slot[rr] += 1
+            icol[r, slot] = rl
+            vcol[r, slot] = vv
             widths.append(w)
             idx_cols.append(icol)
             val_cols.append(vcol)
@@ -131,6 +136,10 @@ def ell_spmv_supported(A: BandedELL, dtype=jnp.float32,
                        vmem_budget: int = 14 * 2 ** 20) -> bool:
     N = A.shape[0]
     if N % _LANES:
+        return False
+    # the kernel runs at A.vals.dtype; a caller asking for a different dtype
+    # is a dispatch bug, not a supported configuration (advisor r2)
+    if jnp.dtype(dtype) != jnp.dtype(A.vals.dtype):
         return False
     if A.vals.dtype not in (jnp.float32, jnp.dtype(jnp.float32)):
         return False

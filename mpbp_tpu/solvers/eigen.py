@@ -127,8 +127,12 @@ def eigs(matvec: Callable, example: jax.Array, k: int = 10,
         out = _sorted_real_schur(Hm, p_want)
         if out is None:
             # fallback: explicit restart with a combination of wanted Ritz
-            # vectors (slower convergence, always available)
-            comb = np.real(evecs[:, :k] @ np.ones(min(k, evecs.shape[1])))
+            # vectors. Keep BOTH the real and imaginary parts of the complex
+            # sum: for a conjugate eigenpair they span the 2-D real invariant
+            # subspace, whereas np.real alone throws half of it away and can
+            # start the restart orthogonal to a wanted vector.
+            csum = evecs[:, :k] @ np.ones(min(k, evecs.shape[1]))
+            comb = np.real(csum) + np.imag(csum)
             vr = _tdot(jnp.asarray(comb, dtype), V[:m],
                                axes=((0,), (0,)))
             vr = vr / jnp.sqrt(jnp.sum(vr * vr))

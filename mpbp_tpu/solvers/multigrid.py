@@ -177,8 +177,10 @@ def v_cycle(levels: list[MGLevel], b: jax.Array, x: jax.Array,
     r = b - level.apply_p(x)
     rc = restrict_cell(r)
     ec = v_cycle(levels, rc, jnp.zeros_like(rc), lev + 1, pre, post, damping)
-    # piecewise-constant prolongation; the factor 4 accounts for the 2x2
-    # full-weighting restriction (R = P^T / 4 here)
+    # R = mean (P^T / 4), P = piecewise-constant injection. No extra scale
+    # factor is needed at the correction step: the coarse operator is
+    # REdiscretized from the restricted theta (not Galerkin R A P), so its
+    # 1/H^2 scaling already matches the mean-restricted residual.
     x = x + prolong_cell(ec)
     x = _smooth(level, b, x, post, damping)
     return x

@@ -74,6 +74,26 @@ def test_checkpoint_operator_roundtrip(tmp_path):
                                rtol=1e-12, atol=1e-12)
 
 
+def test_theta_planes_injection():
+    """Explicit plane-keyed theta injection (utils/checkpoint._replace_theta
+    path) reproduces the closed-form assembly exactly — including for a
+    non-default theta field, where the old coordinate-sniffing dispatch was
+    unspecified."""
+    import jax.numpy as jnp
+
+    def thn(y, x):
+        return 0.3 + 0.1 * jnp.cos(2 * np.pi * x) * jnp.sin(4 * np.pi * y)
+
+    op = make_multiphase_operator(8, eta_n=7.0, thn_fn=thn)
+    op2 = make_multiphase_operator(
+        8, eta_n=7.0,
+        theta_planes={"cell": op.phase_n.cell,
+                      "xface_pt": op.phase_n.xface_pt,
+                      "yface_pt": op.phase_n.yface_pt})
+    np.testing.assert_allclose(op2.A.to_dense(), op.A.to_dense(),
+                               rtol=1e-14, atol=1e-14)
+
+
 def test_csv_export_matches_dense(tmp_path):
     op = make_multiphase_operator(4)
     paths = write_blocks_to_csv(op, str(tmp_path))

@@ -32,6 +32,28 @@ def test_eigs_nonsymmetric_matches_numpy():
                                rtol=1e-4)
 
 
+def test_eigs_explicit_restart_fallback(monkeypatch):
+    """The explicit-restart fallback (taken when no Schur routine is
+    available) still converges to the dominant eigenvalues — and its restart
+    vector keeps both real and imaginary parts of complex Ritz pairs."""
+    from mpbp_tpu.solvers import eigen as eig_mod
+
+    monkeypatch.setattr(eig_mod, "_sorted_real_schur", lambda *a: None)
+    rng = np.random.default_rng(3)
+    A = rng.normal(size=(60, 60))
+    Aj = jnp.asarray(A)
+    # small ncv forces restarts; the dominant pair of a random real matrix
+    # is typically complex, exercising the conjugate-pair handling
+    res = eig_mod.eigs(lambda v: Aj @ v, jnp.ones(60), k=2, ncv=12,
+                       tol=1e-6, maxiter=300)
+    ref = np.linalg.eigvals(A)
+    ref = ref[np.argsort(-np.abs(ref))]
+    assert res.n_converged >= 1
+    got = res.eigenvalues[: res.n_converged]
+    for ev in got:
+        assert np.min(np.abs(ref - ev)) < 1e-3 * abs(ev), ev
+
+
 def test_unpreconditioned_A_spectrum_matches_dense():
     """Eigenvalues found by matrix-free Arnoldi on the n=8 multiphase A are
     genuine eigenvalues of the dense matrix (the reference's

@@ -76,9 +76,12 @@ def test_ir_equilibrated_converges_at_n64():
                        scale=block_scales(op64))
     assert scaled.converged, (scaled.relres, scaled.history)
     assert scaled.relres < 1e-8
-    # Equilibration must never hurt, and must converge in no more outer
-    # steps than the plain path. (The original 100x-gap claim was platform-
-    # and PC-quality-dependent: on CPU f32 the plain path can also reach
-    # 1e-8 after enough outer steps, so assert the stable contract only.)
-    assert scaled.relres <= plain.relres * 1.5
+    # Equilibration must never hurt: converge in no more outer steps than
+    # the plain path. (Final relres values are NOT comparable between the
+    # two runs — each stops at its first sub-tol residual, so the run that
+    # stops later shows a smaller number; only the step count is the stable
+    # contract. The original 100x-gap claim was platform- and PC-quality-
+    # dependent.)
     assert scaled.outer_iters <= plain.outer_iters
+    if not plain.converged:
+        assert scaled.relres <= plain.relres * 1.5
