@@ -35,6 +35,11 @@ def main(argv=None):
                          help="write SolveMetrics JSON to this path")
     p_solve.add_argument("--checkpoint", default="",
                          help="write solution checkpoint (npz) to this path")
+    p_solve.add_argument("--true-res-monitor", action="store_true",
+                         help="recompute + print the TRUE residual "
+                              "||b - A x_k|| every iteration (the reference "
+                              "fgmres callback, reference solve.py:161-170); "
+                              "costs one extra matvec per iteration")
 
     p_apply = sub.add_parser("apply", help="operator-apply MMS check")
     _add_common(p_apply)
@@ -54,6 +59,10 @@ def main(argv=None):
     p_eigs.add_argument("--exact", action="store_true",
                         help="dense full spectrum (small n only) instead of "
                              "matrix-free Arnoldi")
+    p_eigs.add_argument("--plot", default="",
+                        help="also render the --report spectra to this image "
+                             "path (the reference's eigenvalue scatter, "
+                             "reference solve.py:311-327)")
 
     p_exp = sub.add_parser("export", help="CSV dump of block matrices")
     _add_common(p_exp)
@@ -83,7 +92,8 @@ def main(argv=None):
                 tol=sol.tol, maxiter=sol.maxiter, dtype=dtype,
                 ilut_fill=sol.ilut_fill, ilut_tau=sol.ilut_tau,
                 ilut_refine=sol.ilut_refine, inner_tol=sol.inner_tol,
-                inner_iters=sol.inner_iters)
+                inner_iters=sol.inner_iters,
+                true_res_monitor=args.true_res_monitor)
         nnz = 11 * 5 * prob.n * prob.n  # stencil-tap estimate
         m = collect_solve_metrics(rep, nnz, 0.0, t_all.elapsed)
         print(f"solve: n={rep.n} pc={rep.pc} iters={rep.iters} "
@@ -141,6 +151,9 @@ def main(argv=None):
                       f"{spec['clustering_radius_1']:.3g} "
                       f"(n_converged={spec['n_converged']})")
             print("wrote", args.report)
+            if args.plot:
+                from mpbp_tpu.utils.plots import render_spectrum_report
+                print("wrote", render_spectrum_report(rep, args.plot))
             return 0
 
         op = make_multiphase_operator(prob.n, c=prob.c, d=prob.d, xi=prob.xi,

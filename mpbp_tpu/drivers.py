@@ -238,9 +238,17 @@ def solve_multiphase(n: int = 16, c: float = 1.0, d: float = -1.0,
                      xi: float = 1.0, eta_n: float = 1.0, eta_s: float = 1.0,
                      pc: str = "lsc_ilut", tol: float = 1e-8,
                      maxiter: int = 150, problem: str = "variable",
-                     dtype=jnp.float64, **pc_kwargs) -> SolveReport:
+                     dtype=jnp.float64, true_res_monitor: bool = False,
+                     **pc_kwargs) -> SolveReport:
     """End-to-end MMS solve, mirroring reference solve.py main +
-    solve_with_* (defaults n=16, c=1, d=-1, xi=1, reference solve.py:290-297)."""
+    solve_with_* (defaults n=16, c=1, d=-1, xi=1, reference solve.py:290-297).
+
+    `true_res_monitor=True` recomputes the TRUE residual ||b - A x_k|| after
+    every iteration (exactly the reference's fgmres callback, reference
+    solve.py:161-170) by stepping fgmres_resumable one iteration at a time;
+    the per-iteration values land in params['true_res_history']. Costs one
+    extra matvec + solution assembly per iteration — diagnostic mode, off by
+    default (the default verifies the true residual once at the end)."""
     from mpbp_tpu.models.fields import constant_thn
 
     thn_fn_kwargs = {}
@@ -257,7 +265,22 @@ def solve_multiphase(n: int = 16, c: float = 1.0, d: float = -1.0,
     u_vec = pack_fields(op, u_exact)
 
     M = make_preconditioner(op, pc, dtype=dtype, **pc_kwargs)
-    result = krylov.fgmres(a_matvec(op), b_vec, tol=tol, maxiter=maxiter, M=M)
+    mv_hot = a_matvec(op)
+    true_hist = None
+    if true_res_monitor:
+        bnorm = float(jnp.linalg.norm(b_vec))
+        x0 = jnp.zeros_like(b_vec)
+        state, result, true_hist = None, None, []
+        for _ in range(maxiter):
+            result, state = krylov.fgmres_resumable(
+                mv_hot, b_vec, x0=x0, tol=tol, maxiter=maxiter, M=M,
+                state=state, max_steps=1)
+            true_hist.append(float(
+                jnp.linalg.norm(b_vec - mv_hot(result.x)) / bnorm))
+            if bool(result.converged) or int(result.iters) >= maxiter:
+                break
+    else:
+        result = krylov.fgmres(mv_hot, b_vec, tol=tol, maxiter=maxiter, M=M)
 
     err = norms_report(result.x, u_vec, op.grid.dx, op.grid.dy)
     hist = np.asarray(result.res_history)
@@ -274,7 +297,9 @@ def solve_multiphase(n: int = 16, c: float = 1.0, d: float = -1.0,
         converged=bool(result.converged), res_history=hist,
         error_norms=err, x=result.x,
         params=dict(c=c, d=d, xi=xi, eta_n=eta_n, eta_s=eta_s, tol=tol,
-                    maxiter=maxiter, problem=problem, true_relres=true_res),
+                    maxiter=maxiter, problem=problem, true_relres=true_res,
+                    **({"true_res_history": true_hist}
+                       if true_hist is not None else {})),
         status=classify_status(bool(result.converged), hist),
     )
 

@@ -185,6 +185,23 @@ def make_f_apply(op: MultiphaseOperator) -> Callable:
     return mv
 
 
+def make_f_apply_stacked(op: MultiphaseOperator) -> Callable:
+    """Flux-form F matvec on stacked (4, n, n) velocity vectors — the
+    sharded-path form (parallel/sharding.py keeps fields stacked so a field
+    never straddles devices and rolls lower to halo collective-permutes)."""
+    params = dict(op.params)
+    dx, dy = op.grid.dx, op.grid.dy
+    Tn = op.phase_n.cell
+    Wnx, Wny = op.phase_n.xface_pt, op.phase_n.yface_pt
+
+    def mv(v):
+        out = velocity_block_math(_roll_shift, Tn, Wnx, Wny,
+                                  v[0], v[1], v[2], v[3], params, dx, dy)
+        return jnp.stack(out)
+
+    return mv
+
+
 def make_f_apply_planes(Tn, Wnx, Wny, params: dict, dx: float,
                         dy: float) -> Callable:
     """Flux-form F apply on field dicts {un, vn, us, vs} from explicit theta

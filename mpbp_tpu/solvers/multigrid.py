@@ -200,6 +200,8 @@ class MGPressureSolver:
         return cls(build_pressure_mg(mop, n_coarsest), cycles)
 
     def __call__(self, v: jax.Array) -> jax.Array:
+        """Accepts the flat (n^2,) layout or the grid (n, n) layout (the
+        sharded stacked-vector path) — output shape matches input."""
         n = self.levels[0].n
         b = v.reshape(n, n)
         if self.project_mean:
@@ -209,7 +211,7 @@ class MGPressureSolver:
             x = v_cycle(self.levels, b, x)
         if self.project_mean:
             x = x - jnp.mean(x)
-        return x.ravel()
+        return x.reshape(v.shape)
 
 
 # ---------------------------------------------------------------------------
@@ -376,11 +378,18 @@ class MGVelocitySolver:
         return cls(build_velocity_mg(mop, n_coarsest), cycles)
 
     def __call__(self, v: jax.Array) -> jax.Array:
+        """Accepts flat (4 n^2,) or stacked (4, n, n) velocity vectors (the
+        sharded path) — output shape matches input."""
         n = self.levels[0].n
         n2 = n * n
-        b = {f: v[i * n2:(i + 1) * n2].reshape(n, n)
-             for i, f in enumerate(_VEL)}
+        if v.ndim == 3:
+            b = {f: v[i] for i, f in enumerate(_VEL)}
+        else:
+            b = {f: v[i * n2:(i + 1) * n2].reshape(n, n)
+                 for i, f in enumerate(_VEL)}
         x = {f: jnp.zeros_like(b[f]) for f in _VEL}
         for _ in range(self.cycles):
             x = vel_v_cycle(self.levels, b, x)
+        if v.ndim == 3:
+            return jnp.stack([x[f] for f in _VEL])
         return jnp.concatenate([x[f].ravel() for f in _VEL])

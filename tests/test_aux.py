@@ -128,3 +128,33 @@ def test_solve_resume_from_checkpoint(tmp_path):
     assert bool(r2.converged)
     # restart costs little: total iterations comparable to the one-shot 45
     assert 20 + int(r2.iters) <= 60, int(r2.iters)
+
+
+def test_true_residual_monitor():
+    """Per-iteration true-residual monitor (the reference's fgmres callback,
+    reference solve.py:161-170): history present, one entry per iteration,
+    and the final true residual matches the converged tolerance."""
+    from mpbp_tpu.drivers import solve_multiphase
+
+    rep = solve_multiphase(n=8, eta_n=1.0, eta_s=1.0, pc="lsc_ilut",
+                           tol=1e-8, maxiter=60, true_res_monitor=True)
+    hist = rep.params["true_res_history"]
+    assert rep.converged
+    assert len(hist) == rep.iters
+    assert hist[-1] < 1e-7
+    # the monitor measures TRUE residuals: they track the recurrence history
+    rec = rep.res_history[1:len(hist) + 1] / rep.res_history[0]
+    np.testing.assert_allclose(hist, rec, rtol=1e-6, atol=1e-10)
+
+
+def test_spectrum_plot_renders(tmp_path):
+    """Spectrum scatter artifact (reference solve.py:311-327 capability)."""
+    import os
+
+    from mpbp_tpu.drivers import spectrum_report
+    from mpbp_tpu.utils.plots import render_spectrum_report
+
+    rep = spectrum_report(n=8, eta_n=1.0, eta_s=1.0, pcs=("exact_schur",),
+                          exact=True)
+    path = render_spectrum_report(rep, str(tmp_path / "spec.png"))
+    assert os.path.exists(path) and os.path.getsize(path) > 10_000
