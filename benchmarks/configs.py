@@ -137,7 +137,9 @@ def _sharded_solve(n, maxiter, config_id, desc):
     bv = jax.device_put(
         sh.stack_state({k: v.astype(jnp.float32) for k, v in b.items()}),
         sh.vector_sharding(mesh))
-    mv = jax.jit(sh.stacked_matvec(sop.A))
+    from mpbp_tpu.models.fused import make_fused_apply
+
+    mv = jax.jit(make_fused_apply(sop))   # the production matvec
     res = krylov.fgmres(mv, bv, tol=0.0, maxiter=maxiter)   # warm/compile
     t0 = time.time()
     res = krylov.fgmres(mv, bv, tol=0.0, maxiter=maxiter)

@@ -99,7 +99,8 @@ def make_preconditioner(op: MultiphaseOperator, kind: str,
                         ilut_fill: int = 400, ilut_tau: float = 3e-5,
                         ilut_refine: int = 0,
                         inner_tol: float = 1e-4, inner_iters: int = 60,
-                        dtype=jnp.float64) -> Callable | None:
+                        dtype=jnp.float64, ilut_apply: str = "level",
+                        ilut_sweeps: int = 24) -> Callable | None:
     """Build a named preconditioner configuration.
 
     kinds:
@@ -120,7 +121,9 @@ def make_preconditioner(op: MultiphaseOperator, kind: str,
     f_inner, p_inner = lsc_inners(op, kind, ilut_fill=ilut_fill,
                                   ilut_tau=ilut_tau, ilut_refine=ilut_refine,
                                   inner_tol=inner_tol,
-                                  inner_iters=inner_iters, dtype=dtype)
+                                  inner_iters=inner_iters, dtype=dtype,
+                                  ilut_apply=ilut_apply,
+                                  ilut_sweeps=ilut_sweeps)
     if kind == "block_diag":
         return pcs.make_block_diagonal_pc(op, f_inner, p_inner)
     if kind == "block_tri":
@@ -131,25 +134,38 @@ def make_preconditioner(op: MultiphaseOperator, kind: str,
 def lsc_inners(op: MultiphaseOperator, kind: str,
                ilut_fill: int = 400, ilut_tau: float = 3e-5,
                ilut_refine: int = 0, inner_tol: float = 1e-4,
-               inner_iters: int = 60, dtype=jnp.float64):
+               inner_iters: int = 60, dtype=jnp.float64,
+               ilut_apply: str = "level", ilut_sweeps: int = 24):
     """The (F-block, pressure-block) inner solvers for a named PC kind —
-    shared by the single-precision and mixed-precision assemblies."""
+    shared by the single-precision and mixed-precision assemblies.
+
+    ilut_apply: 'level' (exact wavefront tri-solves) or 'neumann'
+    (`ilut_sweeps` Jacobi sweeps per triangle — latency-flat on TPU at the
+    cost of extra outer iterations; benchmarks/kernels_tpu.py records the
+    trade)."""
     GtG, GtFG = pcs.lsc_products(op)
 
     if kind in ("lsc_ilut", "lsc_ilu0", "block_diag", "block_tri"):
         if kind == "lsc_ilu0":
             f_inner = pcs.ILUInner.ilu0_of(op.F, dtype=dtype,
-                                           refine=ilut_refine)
-            p_inner = pcs.ILUInner.ilu0_of(GtG, dtype=dtype)
+                                           refine=ilut_refine,
+                                           apply=ilut_apply,
+                                           sweeps=ilut_sweeps)
+            p_inner = pcs.ILUInner.ilu0_of(GtG, dtype=dtype,
+                                           apply=ilut_apply,
+                                           sweeps=ilut_sweeps)
         else:
             # F is the hard block (phase coupling + viscosity contrast —
             # reference defaults eta_n/eta_s = 100, solve.py:295-297); deeper
             # fill there buys outer iterations. GtG is easy (5-pt Poisson-like)
             # and keeps the reference's (100, 1e-3)-equivalent setting.
             f_inner = pcs.ILUInner.ilut_of(op.F, fill=ilut_fill, tau=ilut_tau,
-                                           dtype=dtype, refine=ilut_refine)
+                                           dtype=dtype, refine=ilut_refine,
+                                           apply=ilut_apply,
+                                           sweeps=ilut_sweeps)
             p_inner = pcs.ILUInner.ilut_of(GtG, fill=100, tau=1e-3,
-                                           dtype=dtype)
+                                           dtype=dtype, apply=ilut_apply,
+                                           sweeps=ilut_sweeps)
         return f_inner, p_inner
 
     def _f_krylov_inner():

@@ -163,3 +163,61 @@ def neumann_trisolve(strict_ell_cols: jax.Array, strict_ell_vals: jax.Array,
         return inv_d * (b - sx)
 
     return jax.lax.fori_loop(0, sweeps, body, inv_d * b)
+
+
+def strict_ell_from_csr(indptr, indices, vals, n: int, dtype=jnp.float64):
+    """(cols, vals) ELL arrays of a strictly-triangular CSR part, padded
+    with self-references carrying value 0 — the neumann_trisolve operand
+    layout. Vectorized (factors reach ~1e6 rows)."""
+    indptr = np.asarray(indptr, np.int64)
+    indices = np.asarray(indices, np.int32)
+    vals_np = np.asarray(vals, np.float64)
+    counts = np.diff(indptr)
+    K = max(1, int(counts.max()) if n else 1)
+    cols = np.tile(np.arange(n, dtype=np.int32)[:, None], (1, K))
+    vmat = np.zeros((n, K))
+    r = np.repeat(np.arange(n), counts)
+    slot = np.arange(len(indices), dtype=np.int64) - np.repeat(
+        indptr[:-1], counts)
+    cols[r, slot] = indices
+    vmat[r, slot] = vals_np
+    return jnp.asarray(cols), jnp.asarray(vmat, dtype)
+
+
+@jax.tree_util.register_pytree_node_class
+@dataclasses.dataclass
+class NeumannTriSolve:
+    """Fixed-sweep approximate triangular solve plan — the TPU-latency
+    alternative to LevelTriSolve: no ~2n-level wavefront sequencing, just
+    `sweeps` fully-parallel ELL SpMV passes. Legal as an inner solve under
+    the flexible outer Krylov method at the cost of extra outer iterations
+    (the trade measured by benchmarks/kernels_tpu.py / solve_tpu.py)."""
+
+    n: int
+    sweeps: int
+    cols: jax.Array     # (n, K) int32, self-reference padded
+    vals: jax.Array     # (n, K), padded 0
+    diag: jax.Array     # (n,)
+
+    def tree_flatten(self):
+        return (self.cols, self.vals, self.diag), (self.n, self.sweeps)
+
+    @classmethod
+    def tree_unflatten(cls, aux, leaves):
+        return cls(aux[0], aux[1], *leaves)
+
+    @classmethod
+    def from_csr(cls, indptr, indices, vals, sweeps: int,
+                 diag_vals=None, dtype=jnp.float64) -> "NeumannTriSolve":
+        """Same contract as LevelTriSolve.from_csr: strictly-triangular CSR
+        (no diagonal), optional separate diagonal (None = unit)."""
+        n = len(indptr) - 1
+        cols, vmat = strict_ell_from_csr(indptr, indices, vals, n, dtype)
+        dv = (np.asarray(diag_vals, np.float64)
+              if diag_vals is not None else np.ones(n))
+        return cls(n=n, sweeps=sweeps, cols=cols, vals=vmat,
+                   diag=jnp.asarray(dv, dtype))
+
+    def solve(self, b: jax.Array) -> jax.Array:
+        return neumann_trisolve(self.cols, self.vals, self.diag, b,
+                                self.sweeps)

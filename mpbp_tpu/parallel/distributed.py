@@ -52,10 +52,16 @@ def init_distributed(coordinator_address: str | None = None,
     if process_id is None and "MPBP_PROC_ID" in os.environ:
         process_id = int(os.environ["MPBP_PROC_ID"])
 
-    if not jax.distributed.is_initialized():
+    on_cpu = os.environ.get("JAX_PLATFORMS", "").startswith("cpu")
+    if (on_cpu and coordinator_address is None and num_processes is None):
+        # single CPU process: nothing to initialize (argument-less
+        # auto-detection is a TPU-runtime feature; on CPU it would try to
+        # adopt whatever stale coordinator the environment points at)
+        pass
+    elif not jax.distributed.is_initialized():
         # CPU multi-process needs the gloo collectives implementation; on
         # TPU the flag is ignored (ICI/DCN transport is the XLA runtime's).
-        if os.environ.get("JAX_PLATFORMS", "").startswith("cpu"):
+        if on_cpu:
             jax.config.update("jax_cpu_collectives_implementation", "gloo")
         jax.distributed.initialize(
             coordinator_address=coordinator_address,

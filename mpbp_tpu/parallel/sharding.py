@@ -68,11 +68,28 @@ def shard_operator(op: StencilOperator, mesh: Mesh,
 
 
 def shard_multiphase(mop: MultiphaseOperator, mesh: Mesh,
-                     axis: str = "x") -> MultiphaseOperator:
-    """Shard all block operators AND the theta planes of an assembled
-    multiphase system (the fused apply reads only the planes, so they must
-    carry the row partition for the matvec to stay local-plus-halo)."""
+                     axis: str = "x", commit: bool = False
+                     ) -> MultiphaseOperator:
+    """Prepare an assembled multiphase system for a sharded solve.
+
+    By default this DOES NOT commit the coefficient/theta planes to the
+    mesh: they enter the jitted solve as closure constants, and XLA's
+    sharding propagation from the (explicitly sharded) vector argument
+    splits the stencil compute by row band. Explicitly `device_put`-ing the
+    planes and closing over the committed global arrays deadlocks XLA:CPU's
+    collective rendezvous (measured: the bare fused matvec hangs — cross-
+    process at any size, and in-process at 1024^2 on 4/8 virtual devices —
+    with committed planes; runs with plain ones). On real hardware the
+    driver-visible behavior is identical: the planes are O(n^2) setup data,
+    replicated per host, while all O(n^2)-per-iteration solver state (the
+    Krylov basis) lives in explicitly-sharded jit arguments.
+
+    `commit=True` restores the committed placement for callers that manage
+    their own plane-resident memory (single-host, small grids)."""
     import dataclasses as dc
+
+    if not commit or jax.process_count() > 1:
+        return mop
 
     sh = field_sharding(mesh, axis)
     repl = {}

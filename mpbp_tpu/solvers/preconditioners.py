@@ -93,18 +93,21 @@ class ILUInner:
 
     @classmethod
     def ilut_of(cls, A_stencil: StencilOperator, fill=100, tau=1e-3,
-                dtype=jnp.float64, drop_tol=1e-14, refine=0):
+                dtype=jnp.float64, drop_tol=1e-14, refine=0,
+                apply="level", sweeps=24):
         csr = A_stencil.to_csr(drop_tol=drop_tol)
         mv = _stencil_matvec(A_stencil, dtype) if refine else None
         return cls(ILUPreconditioner.ilut(csr, fill=fill, tau=tau,
-                                          dtype=dtype), refine, mv)
+                                          dtype=dtype, apply=apply,
+                                          sweeps=sweeps), refine, mv)
 
     @classmethod
     def ilu0_of(cls, A_stencil: StencilOperator, dtype=jnp.float64,
-                drop_tol=1e-14, refine=0):
+                drop_tol=1e-14, refine=0, apply="level", sweeps=24):
         csr = A_stencil.to_csr(drop_tol=drop_tol)
         mv = _stencil_matvec(A_stencil, dtype) if refine else None
-        return cls(ILUPreconditioner.ilu0(csr, dtype=dtype), refine, mv)
+        return cls(ILUPreconditioner.ilu0(csr, dtype=dtype, apply=apply,
+                                          sweeps=sweeps), refine, mv)
 
     def __call__(self, v: jax.Array) -> jax.Array:
         z = self.ilu.solve(v)

@@ -1,0 +1,36 @@
+"""Multi-process (multi-"host") distributed-runtime tests — SURVEY.md
+section 2.4 item 4. Spawns real separate Python processes with the gloo
+CPU collectives backend via benchmarks/multihost_launch.py; the full-size
+artifact lives in MULTIHOST_r03.json."""
+
+import json
+import os
+import subprocess
+import sys
+
+import pytest
+
+_REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def test_two_process_solve_matches_single_process():
+    """2 processes x 2 devices solves the n=16 stiff system with the SAME
+    iteration count as 1 process x 4 devices — process boundaries are
+    invisible to the Krylov math (cgs1 cross-host Arnoldi)."""
+    env = {k: v for k, v in os.environ.items()
+           if k not in ("PALLAS_AXON_POOL_IPS", "PALLAS_AXON_REMOTE_COMPILE",
+                        "XLA_FLAGS", "JAX_PLATFORMS")}
+    out = subprocess.run(
+        [sys.executable, os.path.join(_REPO, "benchmarks",
+                                      "multihost_launch.py"),
+         "--procs", "2", "--devices-per-proc", "2", "--port", "9871",
+         "--n", "16", "--tol", "1e-6", "--maxiter", "40", "--pc", "cg",
+         "--inner-iters", "15", "--timeout", "900"],
+        env=env, stdout=subprocess.PIPE, stderr=subprocess.PIPE,
+        timeout=1200)
+    lines = out.stdout.decode().strip().splitlines()
+    assert out.returncode == 0, (out.stdout.decode()[-2000:],
+                                 out.stderr.decode()[-2000:])
+    match = json.loads(lines[-1])
+    assert match["metric"] == "multihost_iteration_match"
+    assert match["match"], match
