@@ -254,6 +254,43 @@ def make_lsc_pc_mixed(op64: MultiphaseOperator,
     return apply
 
 
+def make_lsc_pc_from_dia(minus_D, F, G, inner_tol: float = 1e-4,
+                         inner_iters: int = 60) -> Callable:
+    """LSC preconditioner built ENTIRELY from general banded (DIA) matrix
+    data — no stencil closures, no host factorization. The setup products
+    GtG = (-D) G and GtFG = (-D) F G run on device through the banded
+    SpGEMM (ops/spgemm.py, the reference's dense products at
+    solve.py:246-249); the apply uses matrix-free inner Krylov solves on
+    the DIA matvecs. This is the path for operators that arrive as
+    matrices (loaded / externally assembled systems — the PETSc-Mat role)
+    rather than as this package's stencil operators.
+
+    minus_D: (np, nu) DIA;  F: (nu, nu) DIA;  G: (nu, np) DIA
+    (flat non-periodic offsets, DIAMatrix.from_csr(periodic=False)).
+    """
+    from mpbp_tpu.ops.spgemm import lsc_products_device
+
+    GtG, GtFG = lsc_products_device(minus_D, F, G)
+    nu = F.shape[0]
+
+    fdiag = F.data[F.offsets.index(0)]
+    f_inner = KrylovInner(F.matvec, tol=inner_tol, maxiter=inner_iters,
+                          method="gmres", M=lambda v: v / fdiag)
+    p_inner = KrylovInner(GtG.matvec, tol=inner_tol, maxiter=inner_iters,
+                          method="cg")
+
+    def apply(v):
+        vu, vp = v[:nu], v[nu:]
+        u_hat = f_inner(vu)
+        rp = -minus_D.matvec(u_hat) + vp          # D = -minus_D
+        x_a = p_inner(rp)
+        x_p = p_inner(GtFG.matvec(x_a))
+        u = u_hat - f_inner(G.matvec(x_p))
+        return jnp.concatenate([u, x_p])
+
+    return apply
+
+
 # ---------------------------------------------------------------------------
 # Exact Schur-complement preconditioner (reference solve.py:210-238)
 # ---------------------------------------------------------------------------

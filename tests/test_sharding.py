@@ -183,3 +183,26 @@ def test_sharded_lsc_pc_solve_iteration_invariance():
         assert bool(res.converged), (nd, float(res.relres))
         iters[nd] = int(res.iters)
     assert iters[1] == iters[8], iters
+
+
+def test_2d_mesh_solve_matches_1d():
+    """2-D (hosts, chips) mesh option (parallel/distributed.global_mesh_2d
+    shape): sharding grid rows over BOTH axes solves with the same
+    iteration count as the 1-D row partition."""
+    from jax.sharding import Mesh
+
+    n = 32
+    op = make_multiphase_operator(n, c=1, d=-1, xi=1.0, eta_n=1.0, eta_s=1.0)
+    prob = mms.variable_thn_problem(1, -1, 1.0, 1.0, 1.0)
+    _, b = mms.fill_sol_and_rhs(op.grid, prob)
+
+    mesh1 = sh.make_mesh(8)
+    r1 = sh.sharded_solve(op, b, mesh1, tol=1e-8, maxiter=40)
+
+    devs = np.array(jax.devices()[:8]).reshape(2, 4)
+    mesh2 = Mesh(devs, axis_names=("dcn", "ici"))
+    r2 = sh.sharded_solve(op, b, mesh2, tol=1e-8, maxiter=40,
+                          axis=("dcn", "ici"))
+    assert int(r1.iters) == int(r2.iters), (int(r1.iters), int(r2.iters))
+    np.testing.assert_allclose(np.asarray(r2.x), np.asarray(r1.x),
+                               rtol=1e-8, atol=1e-10)
