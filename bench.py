@@ -66,21 +66,41 @@ def main():
 
     # production matvec: single hand-fused Pallas kernel recomputing all
     # theta-derived coefficients in registers (numerically identical to the
-    # stencil apply — tests/test_fused.py); XLA-roll fallback if the Pallas
-    # path fails to compile on this toolchain.
+    # stencil apply — tests/test_fused.py). Preference order: in-kernel-halo
+    # kernel (true 13-plane traffic), row-extension kernel (r1/r2 variant,
+    # +1 state copy per apply), XLA roll fallback.
     v = jnp.ones((5, n, n), dtype)
-    try:
-        mv = jax.jit(make_fused_apply_pallas(op, block_rows=64))
-        t0 = time.time()
-        float(jnp.sum(mv(v)))
-        log(f"pallas fused apply: compile+first {time.time()-t0:.2f}s")
-    except Exception as e:  # pragma: no cover - toolchain-dependent
-        log(f"pallas path failed ({type(e).__name__}: {str(e)[:120]}), "
-            "falling back to XLA roll path")
+    mv = None
+    for maker, name in [
+            (lambda: make_fused_apply_pallas(op, block_rows=64,
+                                             halo="inkernel"),
+             "pallas fused (in-kernel halo)"),
+            (lambda: make_fused_apply_pallas(op, block_rows=64,
+                                             halo="extend"),
+             "pallas fused (row-extend)"),
+            (lambda: make_fused_apply(op), "xla roll fused")]:
+        try:
+            cand = jax.jit(maker())
+            t0 = time.time()
+            float(jnp.sum(cand(v)))
+            log(f"{name}: compile+first {time.time()-t0:.2f}s")
+            mv = cand
+            break
+        except Exception as e:  # pragma: no cover - toolchain-dependent
+            log(f"{name} failed ({type(e).__name__}: {str(e)[:120]})")
+    assert mv is not None
+
+    # on-chip parity guard: the timed kernel must match the XLA fused apply
+    # (never benchmark a silently-wrong kernel)
+    rng = np.random.default_rng(0)
+    vr = jnp.asarray(rng.normal(size=(5, n, n)).astype(np.float32))
+    ref = jax.jit(make_fused_apply(op))(vr)
+    got = mv(vr)
+    perr = float(jnp.max(jnp.abs(got - ref)) / jnp.max(jnp.abs(ref)))
+    log(f"parity vs XLA fused apply: {perr:.2e}")
+    if not perr < 1e-4:
+        log("*** parity FAILED — falling back to the XLA roll path ***")
         mv = jax.jit(make_fused_apply(op))
-        t0 = time.time()
-        float(jnp.sum(mv(v)))
-        log(f"xla fused apply: compile+first {time.time()-t0:.2f}s")
 
     # steady-state: chain applies on device; renormalize each step so the
     # chained values stay finite (the extra 5-plane scale pass is included

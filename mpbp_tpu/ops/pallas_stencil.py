@@ -125,3 +125,142 @@ def multiphase_pallas_apply(op: MultiphaseOperator, interpret: bool = False,
         return call(Tn_ext, Wnx, Wny, _extend_rows(vec, H))
 
     return mv
+
+
+def multiphase_pallas_apply_inkernel_halo(op: MultiphaseOperator,
+                                          interpret: bool = False,
+                                          block_rows: int = 64) -> Callable:
+    """The fused apply with IN-KERNEL state halos — removes the XLA
+    row-extension pre-pass of multiphase_pallas_apply, which copies the
+    whole 5-plane state (~+40% HBM traffic on the hot matvec).
+
+    The halo rows wrap periodically, and Mosaic rejects modular DMA source
+    indices — but no modular arithmetic is needed: each program's top halo
+    start is r0 - H (a plain non-negative dynamic index) for every program
+    except i == 0, whose top halo is the STATIC last-H-rows slice. Same
+    mirrored for the bottom halo at i == n_blocks - 1. Predicating the two
+    boundary cases with pl.when keeps every DMA start either static or
+    non-negative dynamic. Theta stays row-extended (built once at setup —
+    zero per-matvec cost).
+
+    Traffic: 8 plane-reads + 5 plane-writes + O(H/n) halo rows — the true
+    13-plane minimum of models/fused.py's docstring.
+    """
+    n = op.grid.n
+    TR = min(block_rows, n)
+    while n % TR:
+        TR //= 2
+    n_blocks = n // TR
+    dtype = op.phase_n.cell.dtype
+    params = {k: float(v) for k, v in op.params.items() if k != "n"}
+    dx, dy = op.grid.dx, op.grid.dy
+    H = _H
+    assert TR >= H and TR % H == 0, (TR, H)
+
+    Tn_ext = _extend_rows(op.phase_n.cell, H)       # static, built once
+    Wnx, Wny = op.phase_n.xface_pt, op.phase_n.yface_pt
+    sh = _tile_shift(TR)
+    last = n_blocks - 1
+
+    def kernel(tn_hbm, wnx_ref, wny_ref, x_hbm, out_ref,
+               tn_tile, st_tile, sems):
+        i = pl.program_id(0)
+        r0 = i * TR
+
+        tn_cp = pltpu.make_async_copy(
+            tn_hbm.at[pl.ds(r0, TR + 2 * H), :], tn_tile, sems.at[0])
+        tn_cp.start()
+
+        # interior rows [r0, r0+TR) -> tile rows [H, H+TR)
+        mids = [pltpu.make_async_copy(
+            x_hbm.at[f, pl.ds(r0, TR), :], st_tile.at[f, pl.ds(H, TR), :],
+            sems.at[1 + f]) for f in range(5)]
+        for c in mids:
+            c.start()
+
+        # top halo: rows [r0-H, r0) — static last-H slice when i == 0
+        @pl.when(i == 0)
+        def _():
+            cps = [pltpu.make_async_copy(
+                x_hbm.at[f, pl.ds(n - H, H), :],
+                st_tile.at[f, pl.ds(0, H), :], sems.at[6 + f])
+                for f in range(5)]
+            for c in cps:
+                c.start()
+
+        @pl.when(i > 0)
+        def _():
+            cps = [pltpu.make_async_copy(
+                x_hbm.at[f, pl.ds(r0 - H, H), :],
+                st_tile.at[f, pl.ds(0, H), :], sems.at[6 + f])
+                for f in range(5)]
+            for c in cps:
+                c.start()
+
+        # bottom halo: rows [r0+TR, r0+TR+H) — static first-H slice at last
+        @pl.when(i == last)
+        def _():
+            cps = [pltpu.make_async_copy(
+                x_hbm.at[f, pl.ds(0, H), :],
+                st_tile.at[f, pl.ds(H + TR, H), :], sems.at[11 + f])
+                for f in range(5)]
+            for c in cps:
+                c.start()
+
+        @pl.when(i < last)
+        def _():
+            cps = [pltpu.make_async_copy(
+                x_hbm.at[f, pl.ds(r0 + TR, H), :],
+                st_tile.at[f, pl.ds(H + TR, H), :], sems.at[11 + f])
+                for f in range(5)]
+            for c in cps:
+                c.start()
+
+        tn_cp.wait()
+        for c in mids:
+            c.wait()
+        # halo copy waits: same (f-indexed) semaphores regardless of branch
+        for f in range(5):
+            pltpu.make_async_copy(
+                x_hbm.at[f, pl.ds(0, H), :],
+                st_tile.at[f, pl.ds(0, H), :], sems.at[6 + f]).wait()
+            pltpu.make_async_copy(
+                x_hbm.at[f, pl.ds(0, H), :],
+                st_tile.at[f, pl.ds(H + TR, H), :], sems.at[11 + f]).wait()
+
+        out = multiphase_apply_math(
+            sh, tn_tile[:, :], wnx_ref[:, :], wny_ref[:, :],
+            st_tile[0], st_tile[1], st_tile[2], st_tile[3], st_tile[4],
+            params, dx, dy)
+        for f in range(5):
+            out_ref[f, :, :] = out[f]
+
+    call = pl.pallas_call(
+        kernel,
+        grid=(n_blocks,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pl.ANY),       # Tn_ext (n+2H, n)
+            pl.BlockSpec((TR, n), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),   # Wnx
+            pl.BlockSpec((TR, n), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),   # Wny
+            pl.BlockSpec(memory_space=pl.ANY),       # state (5, n, n)
+        ],
+        out_specs=pl.BlockSpec((5, TR, n), lambda i: (0, i, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((5, n, n), dtype),
+        scratch_shapes=[
+            pltpu.VMEM((TR + 2 * H, n), dtype),
+            pltpu.VMEM((5, TR + 2 * H, n), dtype),
+            pltpu.SemaphoreType.DMA((16,)),
+        ],
+        interpret=interpret,
+        cost_estimate=pl.CostEstimate(
+            flops=120 * n * n, transcendentals=0,
+            bytes_accessed=13 * n * n * np.dtype(np.float32).itemsize),
+    )
+
+    def mv(vec):
+        return call(Tn_ext, Wnx, Wny, vec)
+
+    return mv

@@ -50,3 +50,19 @@ def test_fused_sharded_matches(mesh8):
     got = jax.jit(mv)(vsh)
     np.testing.assert_allclose(np.asarray(got), expect, rtol=1e-12)
     assert len(got.sharding.device_set) == 8
+
+
+@pytest.mark.parametrize("halo", ["extend", "inkernel"])
+def test_fused_pallas_interpret_matches(halo):
+    """Pallas fused-apply kernels (both halo strategies) equal the XLA roll
+    apply — interpret mode (on-chip numbers: bench.py / KERNELS_r03)."""
+    from mpbp_tpu.models.fused import make_fused_apply_pallas
+
+    op = make_multiphase_operator(32, eta_n=100.0, dtype=jnp.float32)
+    rng = np.random.default_rng(3)
+    v = jnp.asarray(rng.normal(size=(5, 32, 32)).astype(np.float32))
+    want = np.asarray(make_fused_apply(op)(v))
+    got = np.asarray(make_fused_apply_pallas(op, interpret=True,
+                                             block_rows=16, halo=halo)(v))
+    np.testing.assert_allclose(got, want, rtol=2e-6,
+                               atol=2e-6 * np.abs(want).max())
