@@ -115,91 +115,99 @@ def main(argv=None):
         return float(np.max(np.abs(got - want))
                      / max(np.max(np.abs(want)), 1e-30))
 
-    # -- resident DIA on the coupled A ------------------------------------
-    n = args.n_dia
-    log(f"building multiphase A, n={n} ...")
-    op = make_multiphase_operator(n, c=1.0, d=-1.0, xi=1.0, eta_n=100.0,
-                                  eta_s=1.0, dtype=jnp.float32)
-    csr = op.A.to_csr()
-    dia = DIAMatrix.from_csr(csr, periodic=True)
-    N, nnz, K = csr.shape[0], csr.nnz, len(dia.offsets)
-    assert dia_spmv_supported(dia), (N, K)
     rng = np.random.default_rng(0)
-    x = jnp.asarray(rng.normal(size=N).astype(np.float32))
-    mv = dia_spmv_pallas(dia)
-    ref = jax.jit(dia.matvec)(x)           # XLA roll path, on chip
-    perr = parity_check(jax.jit(mv)(x), ref)
-    log(f"resident DIA: N={N}, K={K}, parity {perr:.2e}")
-    dt, _ = timed(mv, x, "dia_resident", nnz)
-    record("dia_resident_spmv", n, N, nnz, dt, perr, {"K": K})
 
-    # -- streamed DIA at 1024^2 --------------------------------------------
-    ns = args.n_stream
-    log(f"building multiphase A, n={ns} ...")
-    ops_ = make_multiphase_operator(ns, c=1.0, d=-1.0, xi=1.0, eta_n=100.0,
-                                    eta_s=1.0, dtype=jnp.float32)
-    csr_s = ops_.A.to_csr()
-    dia_s = DIAMatrix.from_csr(csr_s, periodic=True)
-    Ns, nnz_s = csr_s.shape[0], csr_s.nnz
-    assert dia_spmv_streamed_supported(dia_s), (Ns, len(dia_s.offsets))
-    xs = jnp.asarray(rng.normal(size=Ns).astype(np.float32))
-    mv_s = dia_spmv_pallas_streamed(dia_s)
-    ref_s = jax.jit(dia_s.matvec)(xs)
-    perr = parity_check(jax.jit(mv_s)(xs), ref_s)
-    log(f"streamed DIA: N={Ns}, K={len(dia_s.offsets)}, parity {perr:.2e}")
-    dt, _ = timed(mv_s, xs, "dia_streamed", nnz_s)
-    record("dia_streamed_spmv", ns, Ns, nnz_s, dt, perr,
-           {"K": len(dia_s.offsets)})
+    def sect_dia_resident():
+        n = args.n_dia
+        log(f"building multiphase A, n={n} ...")
+        op = make_multiphase_operator(n, c=1.0, d=-1.0, xi=1.0, eta_n=100.0,
+                                      eta_s=1.0, dtype=jnp.float32)
+        csr = op.A.to_csr()
+        dia = DIAMatrix.from_csr(csr, periodic=True)
+        N, nnz, K = csr.shape[0], csr.nnz, len(dia.offsets)
+        assert dia_spmv_supported(dia), (N, K)
+        x = jnp.asarray(rng.normal(size=N).astype(np.float32))
+        mv = dia_spmv_pallas(dia)
+        ref = jax.jit(dia.matvec)(x)           # XLA roll path, on chip
+        perr = parity_check(jax.jit(mv)(x), ref)
+        log(f"resident DIA: N={N}, K={K}, parity {perr:.2e}")
+        dt, _ = timed(mv, x, "dia_resident", nnz)
+        record("dia_resident_spmv", n, N, nnz, dt, perr, {"K": K})
 
-    # -- banded ELL on an ILUT factor (bands with fill) --------------------
-    ne = args.n_ell
-    log(f"building GtG + ILUT factors, n={ne} ...")
-    ope = make_multiphase_operator(ne, c=1.0, d=-1.0, xi=1.0, eta_n=100.0,
-                                   eta_s=1.0, dtype=jnp.float64)
-    GtG, _ = lsc_products(ope)
-    gtg_csr = GtG.to_csr(drop_tol=1e-14)
-    from mpbp_tpu import native
-    ip, ix, vv = gtg_csr.host_arrays()
-    (Lp, Li, Lv), (Up, Ui, Uv) = native.ilut(ip, ix, vv, fill=100, tau=1e-3)
-    u_csr = CSRMatrix((gtg_csr.shape[0], gtg_csr.shape[1]),
-                      jnp.asarray(np.asarray(Up)), jnp.asarray(np.asarray(Ui)),
-                      jnp.asarray(np.asarray(Uv, np.float32)))
-    ell = BandedELL.from_csr(u_csr)
-    Ne, nnz_e = u_csr.shape[0], int(np.count_nonzero(np.asarray(Uv)))
-    assert ell_spmv_supported(ell, jnp.float32), (Ne, ell.total_width)
-    xe = jnp.asarray(rng.normal(size=Ne).astype(np.float32))
-    mv_e = ell_spmv_pallas(ell)
-    ref_e = jax.jit(ell.matvec)(xe)
-    perr = parity_check(jax.jit(mv_e)(xe), ref_e)
-    log(f"banded ELL (ILUT-U of GtG): N={Ne}, bands={len(ell.offsets)}, "
-        f"W={ell.total_width}, parity {perr:.2e}")
-    dt, _ = timed(mv_e, xe, "ell_spmv", nnz_e)
-    record("banded_ell_spmv", ne, Ne, nnz_e, dt, perr,
-           {"bands": len(ell.offsets), "total_width": ell.total_width})
+    def sect_dia_streamed():
+        ns = args.n_stream
+        log(f"building multiphase A, n={ns} ...")
+        ops_ = make_multiphase_operator(ns, c=1.0, d=-1.0, xi=1.0,
+                                        eta_n=100.0, eta_s=1.0,
+                                        dtype=jnp.float32)
+        csr_s = ops_.A.to_csr()
+        dia_s = DIAMatrix.from_csr(csr_s, periodic=True)
+        Ns, nnz_s = csr_s.shape[0], csr_s.nnz
+        assert dia_spmv_streamed_supported(dia_s), (Ns, len(dia_s.offsets))
+        xs = jnp.asarray(rng.normal(size=Ns).astype(np.float32))
+        mv_s = dia_spmv_pallas_streamed(dia_s)
+        ref_s = jax.jit(dia_s.matvec)(xs)
+        perr = parity_check(jax.jit(mv_s)(xs), ref_s)
+        log(f"streamed DIA: N={Ns}, K={len(dia_s.offsets)}, parity {perr:.2e}")
+        dt, _ = timed(mv_s, xs, "dia_streamed", nnz_s)
+        record("dia_streamed_spmv", ns, Ns, nnz_s, dt, perr,
+               {"K": len(dia_s.offsets)})
 
-    # -- one-hot MXU SpMM on GtG -------------------------------------------
-    gtg32 = CSRMatrix(gtg_csr.shape, gtg_csr.indptr, gtg_csr.indices,
-                      gtg_csr.vals.astype(jnp.float32))
-    ell_g = BandedELL.from_csr(gtg32)
-    k = 16
-    mm = ell_spmm_pallas(ell_g, k)
-    X = jnp.asarray(rng.normal(size=(Ne, k)).astype(np.float32))
-    ref_mm = jax.jit(jax.vmap(ell_g.matvec, in_axes=1, out_axes=1))(X)
-    got_mm = jax.jit(mm)(X)
-    perr = parity_check(got_mm, ref_mm)
-    nnz_g = gtg32.nnz
-    log(f"one-hot SpMM: N={Ne}, k={k}, parity {perr:.2e}")
-    dt, _ = timed(mm, X, "ell_spmm", nnz_g * k)
-    record("onehot_spmm", ne, Ne, nnz_g * k, dt, perr, {"k": k})
+    def _gtg_csr(n, dtype=jnp.float64):
+        op_ = make_multiphase_operator(n, c=1.0, d=-1.0, xi=1.0,
+                                       eta_n=100.0, eta_s=1.0, dtype=dtype)
+        GtG, _ = lsc_products(op_)
+        return GtG.to_csr(drop_tol=1e-14)
 
-    # -- level-scheduled tri-solve vs Neumann sweeps ------------------------
-    for ntri in (128, 256):
+    def sect_ell():
+        from mpbp_tpu import native
+
+        ne = args.n_ell
+        log(f"building GtG + ILUT factors, n={ne} ...")
+        gtg_csr = _gtg_csr(ne)
+        ip, ix, vv = gtg_csr.host_arrays()
+        (Lp, Li, Lv), (Up, Ui, Uv) = native.ilut(ip, ix, vv,
+                                                 fill=100, tau=1e-3)
+        u_csr = CSRMatrix(gtg_csr.shape, jnp.asarray(np.asarray(Up)),
+                          jnp.asarray(np.asarray(Ui)),
+                          jnp.asarray(np.asarray(Uv, np.float32)))
+        ell = BandedELL.from_csr(u_csr)
+        Ne = u_csr.shape[0]
+        nnz_e = int(np.count_nonzero(np.asarray(Uv)))
+        assert ell_spmv_supported(ell, jnp.float32), (Ne, ell.total_width)
+        xe = jnp.asarray(rng.normal(size=Ne).astype(np.float32))
+        mv_e = ell_spmv_pallas(ell)
+        ref_e = jax.jit(ell.matvec)(xe)
+        perr = parity_check(jax.jit(mv_e)(xe), ref_e)
+        log(f"banded ELL (ILUT-U of GtG): N={Ne}, bands={len(ell.offsets)}, "
+            f"W={ell.total_width}, parity {perr:.2e}")
+        dt, _ = timed(mv_e, xe, "ell_spmv", nnz_e)
+        record("banded_ell_spmv", ne, Ne, nnz_e, dt, perr,
+               {"bands": len(ell.offsets), "total_width": ell.total_width})
+
+    def sect_spmm():
+        ne = args.n_ell
+        gtg_csr = _gtg_csr(ne)
+        gtg32 = CSRMatrix(gtg_csr.shape, gtg_csr.indptr, gtg_csr.indices,
+                          gtg_csr.vals.astype(jnp.float32))
+        ell_g = BandedELL.from_csr(gtg32)
+        Ne = gtg32.shape[0]
+        k = 16
+        mm = ell_spmm_pallas(ell_g, k)
+        X = jnp.asarray(rng.normal(size=(Ne, k)).astype(np.float32))
+        ref_mm = jax.jit(jax.vmap(ell_g.matvec, in_axes=1, out_axes=1))(X)
+        got_mm = jax.jit(mm)(X)
+        perr = parity_check(got_mm, ref_mm)
+        nnz_g = gtg32.nnz
+        log(f"one-hot SpMM: N={Ne}, k={k}, parity {perr:.2e}")
+        dt, _ = timed(mm, X, "ell_spmm", nnz_g * k)
+        record("onehot_spmm", ne, Ne, nnz_g * k, dt, perr, {"k": k})
+
+    def sect_trisolve(ntri):
+        from mpbp_tpu import native
+
         log(f"tri-solve benchmark, n={ntri} ...")
-        opt = make_multiphase_operator(ntri, c=1.0, d=-1.0, xi=1.0,
-                                       eta_n=100.0, eta_s=1.0,
-                                       dtype=jnp.float64)
-        GtGt, _ = lsc_products(opt)
-        ct = GtGt.to_csr(drop_tol=1e-14)
+        ct = _gtg_csr(ntri)
         ilu = ILUPreconditioner.ilut(ct, fill=100, tau=1e-3,
                                      dtype=jnp.float32)
         Nt = ct.shape[0]
@@ -235,6 +243,22 @@ def main(argv=None):
         record("neumann_trisolve_ilut_apply", ntri, Nt, nnz_f * sweeps, dt,
                perr_n, {"sweeps": sweeps,
                         "note": "parity = inner-solve truncation, not error"})
+
+    # every section runs independently: one unsupported/failed kernel is
+    # recorded as a failure entry, never kills the suite
+    sections = [("dia_resident", sect_dia_resident),
+                ("dia_streamed", sect_dia_streamed),
+                ("banded_ell", sect_ell),
+                ("onehot_spmm", sect_spmm),
+                ("trisolve_128", lambda: sect_trisolve(128)),
+                ("trisolve_256", lambda: sect_trisolve(256))]
+    for name, fn in sections:
+        try:
+            fn()
+        except Exception as e:  # pragma: no cover - hardware-dependent
+            r = {"kernel": name, "failed": f"{type(e).__name__}: {e}"[:300]}
+            results.append(r)
+            print(json.dumps(r), flush=True)
 
     out = {"device": str(dev), "results": results}
     if args.out:

@@ -352,6 +352,15 @@ def gmres(matvec: Callable, b: jax.Array, x0: jax.Array | None = None,
     return _restarted(matvec, b, x0, tol, maxiter, restart, M, False, orthog)
 
 
+def _host_scalar(x):
+    """Host value of a replicated solver scalar — multi-process jax refuses
+    plain np.asarray on arrays spanning non-addressable devices; for
+    replicated values the local shard is the value."""
+    if hasattr(x, "addressable_shards"):
+        return np.asarray(x.addressable_shards[0].data)
+    return np.asarray(x)
+
+
 def _restarted(matvec, b, x0, tol, maxiter, restart, M, use_z, orthog
                ) -> KrylovResult:
     """Host loop over jitted cycles with a correctly stitched history.
@@ -369,12 +378,12 @@ def _restarted(matvec, b, x0, tol, maxiter, restart, M, use_z, orthog
         cycle = min(restart, remaining)
         result = _fgmres_cycle(matvec, b, x, tol, cycle, M, use_z, orthog)
         x = result.x
-        it = int(result.iters)
+        it = int(_host_scalar(result.iters))
         total_iters += it
-        h = np.asarray(result.res_history[: it + 1])
+        h = _host_scalar(result.res_history)[: it + 1]
         hists.append(h if not hists else h[1:])
         remaining -= it if it > 0 else cycle   # breakdown: don't loop forever
-        if bool(result.converged) or it == 0:
+        if bool(_host_scalar(result.converged)) or it == 0:
             break
     hist = np.concatenate(hists) if hists else np.array([])
     full_hist = jnp.full(maxiter + 1, jnp.nan, b.dtype)
