@@ -66,12 +66,15 @@ def main():
 
     # production matvec: single hand-fused Pallas kernel recomputing all
     # theta-derived coefficients in registers (numerically identical to the
-    # stencil apply — tests/test_fused.py). Preference order: in-kernel-halo
-    # kernel (true 13-plane traffic), row-extension kernel (r1/r2 variant,
-    # +1 state copy per apply), XLA roll fallback.
+    # stencil apply — tests/test_fused.py). Preference order: pipelined
+    # double-buffered in-kernel-halo kernel (true 13-plane traffic, DMA
+    # overlapped with compute), single-buffered in-kernel-halo, row-extension
+    # kernel (r1/r2 variant, +1 state copy per apply), XLA roll fallback.
     v = jnp.ones((5, n, n), dtype)
     mv = None
     for maker, name in [
+            (lambda: make_fused_apply_pallas(op, halo="pipelined"),
+             "pallas fused (pipelined halo)"),
             (lambda: make_fused_apply_pallas(op, block_rows=64,
                                              halo="inkernel"),
              "pallas fused (in-kernel halo)"),

@@ -244,9 +244,41 @@ def main(argv=None):
                perr_n, {"sweeps": sweeps,
                         "note": "parity = inner-solve truncation, not error"})
 
+    def sect_fused_variants():
+        """Head-to-head of the fused-apply halo strategies on chip: XLA roll
+        vs row-extend vs in-kernel halo vs pipelined double-buffered (the
+        bench.py hero kernel candidates), same parity gate as bench.py."""
+        from mpbp_tpu.models.fused import (make_fused_apply,
+                                           make_fused_apply_pallas)
+
+        n = args.n_dia
+        op = make_multiphase_operator(n, c=1.0, d=-1.0, xi=1.0, eta_n=100.0,
+                                      eta_s=1.0, dtype=jnp.float32)
+        nnz = sum(len(m) for m in op.A.terms.values()) * n * n
+        v = jnp.asarray(rng.normal(size=(5, n, n)).astype(np.float32))
+        ref = jax.jit(make_fused_apply(op))(v)
+        variants = [("fused_xla_roll", lambda: make_fused_apply(op)),
+                    ("fused_pallas_extend",
+                     lambda: make_fused_apply_pallas(op, halo="extend")),
+                    ("fused_pallas_inkernel",
+                     lambda: make_fused_apply_pallas(op, halo="inkernel")),
+                    ("fused_pallas_pipelined",
+                     lambda: make_fused_apply_pallas(op, halo="pipelined"))]
+        for name, maker in variants:
+            try:
+                mv = maker()
+                perr = parity_check(jax.jit(mv)(v), ref)
+                dt, _ = timed(mv, v, name, nnz)
+                record(name, n, 5 * n * n, nnz, dt, perr)
+            except Exception as e:  # pragma: no cover - hardware-dependent
+                r = {"kernel": name, "failed": f"{type(e).__name__}: {e}"[:300]}
+                results.append(r)
+                print(json.dumps(r), flush=True)
+
     # every section runs independently: one unsupported/failed kernel is
     # recorded as a failure entry, never kills the suite
-    sections = [("dia_resident", sect_dia_resident),
+    sections = [("fused_variants", sect_fused_variants),
+                ("dia_resident", sect_dia_resident),
                 ("dia_streamed", sect_dia_streamed),
                 ("banded_ell", sect_ell),
                 ("onehot_spmm", sect_spmm),

@@ -219,20 +219,26 @@ def make_f_apply_planes(Tn, Wnx, Wny, params: dict, dx: float,
 
 
 def make_fused_apply_pallas(op: MultiphaseOperator, interpret: bool = False,
-                            block_rows: int = 64,
-                            halo: str = "inkernel") -> Callable:
+                            block_rows: int | None = None,
+                            halo: str = "pipelined") -> Callable:
     """The same matvec as a single hand-fused Pallas TPU kernel
     (ops/pallas_stencil.py): one HBM pass over 8 input + 5 output planes.
 
-    halo='inkernel' (default) DMAs the periodic wrap rows inside the kernel
-    (true 13-plane traffic); halo='extend' keeps the original XLA
-    row-extension pre-pass (a full extra state copy per matvec — the r1/r2
-    kernel, retained as the fallback)."""
+    halo='pipelined' (default) double-buffers the in-kernel halo DMAs across
+    grid steps so block i+1's HBM reads overlap block i's compute;
+    halo='inkernel' is the single-buffered variant (start -> wait ->
+    compute per block); halo='extend' keeps the original XLA row-extension
+    pre-pass (a full extra state copy per matvec — the r1/r2 kernel,
+    retained as the fallback)."""
     from mpbp_tpu.ops.pallas_stencil import (
-        multiphase_pallas_apply, multiphase_pallas_apply_inkernel_halo)
+        multiphase_pallas_apply, multiphase_pallas_apply_inkernel_halo,
+        multiphase_pallas_apply_pipelined)
 
+    if halo == "pipelined":
+        return multiphase_pallas_apply_pipelined(
+            op, interpret=interpret, block_rows=block_rows)
     if halo == "inkernel":
         return multiphase_pallas_apply_inkernel_halo(
-            op, interpret=interpret, block_rows=block_rows)
+            op, interpret=interpret, block_rows=block_rows or 64)
     return multiphase_pallas_apply(op, interpret=interpret,
-                                   block_rows=block_rows)
+                                   block_rows=block_rows or 64)

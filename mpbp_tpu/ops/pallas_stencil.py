@@ -127,6 +127,177 @@ def multiphase_pallas_apply(op: MultiphaseOperator, interpret: bool = False,
     return mv
 
 
+def _pick_pipelined_tr(n: int, itemsize: int, budget: int = 10 << 20) -> int:
+    """Largest row-block TR (multiple of _H, divides n) whose double-buffered
+    VMEM footprint fits the budget: per slot the kernel holds tn (TR+2H, n) +
+    state (5, TR+2H, n), plus Pallas' own double-buffered Wnx/Wny/out blocks
+    (2 + 5) * (TR, n) * 2."""
+    for tr in (256, 128, 64, 32, 16, 8):
+        if tr > n or n % tr or tr % _H:
+            continue
+        per_slot = (tr + 2 * _H) * n * 6
+        pipelined = 2 * tr * n * 7
+        if itemsize * (2 * per_slot + pipelined) <= budget:
+            return tr
+    return _H
+
+
+def multiphase_pallas_apply_pipelined(op: MultiphaseOperator,
+                                      interpret: bool = False,
+                                      block_rows: int | None = None) -> Callable:
+    """In-kernel-halo fused apply with CROSS-GRID-STEP DOUBLE BUFFERING.
+
+    The inkernel_halo kernel serializes each block as start-DMA -> wait ->
+    compute, so the DMA engines idle during compute and the VPU idles during
+    DMA. TPU grid steps run sequentially on a core and scratch persists
+    across them, so program i can prefetch block i+1's theta/state tiles into
+    the opposite scratch slot before waiting on its own: block i+1's HBM
+    reads then overlap block i's compute (and Pallas already double-buffers
+    the pipelined Wnx/Wny/out BlockSpecs). Same DMA plan per block as the
+    inkernel_halo variant — interior rows plus two H-row periodic wrap halos,
+    with the top halo of block 0 / bottom halo of the last block as static
+    slices so every DMA start index stays static or non-negative dynamic.
+
+    block_rows=None picks the largest TR whose two slots fit a 10 MB VMEM
+    budget (halo overhead per block is 2H/TR on 6 of the 13 planes, so
+    bigger blocks also mean less re-read traffic)."""
+    n = op.grid.n
+    dtype = op.phase_n.cell.dtype
+    itemsize = np.dtype(dtype).itemsize
+    TR = block_rows if block_rows is not None else _pick_pipelined_tr(n, itemsize)
+    TR = min(TR, n)
+    while n % TR:
+        TR //= 2
+    n_blocks = n // TR
+    if n_blocks < 2:
+        return multiphase_pallas_apply_inkernel_halo(
+            op, interpret=interpret, block_rows=TR)
+    params = {k: float(v) for k, v in op.params.items() if k != "n"}
+    dx, dy = op.grid.dx, op.grid.dy
+    H = _H
+    assert TR >= H and TR % H == 0, (TR, H)
+
+    Tn_ext = _extend_rows(op.phase_n.cell, H)       # static, built once
+    Wnx, Wny = op.phase_n.xface_pt, op.phase_n.yface_pt
+    sh = _tile_shift(TR)
+    last = n_blocks - 1
+
+    def kernel(tn_hbm, wnx_ref, wny_ref, x_hbm, out_ref,
+               tn_tile, st_tile, sems):
+        i = pl.program_id(0)
+
+        def issue(slot, blk):
+            """Start every DMA for block `blk` into scratch slot `slot`.
+            blk is traced; the wrap-row cases are predicated exactly as in
+            the single-buffered kernel."""
+            r0 = blk * TR
+            pltpu.make_async_copy(
+                tn_hbm.at[pl.ds(r0, TR + 2 * H), :], tn_tile.at[slot],
+                sems.at[slot, 0]).start()
+            for f in range(5):
+                pltpu.make_async_copy(
+                    x_hbm.at[f, pl.ds(r0, TR), :],
+                    st_tile.at[slot, f, pl.ds(H, TR), :],
+                    sems.at[slot, 1 + f]).start()
+
+            @pl.when(blk == 0)
+            def _():
+                for f in range(5):
+                    pltpu.make_async_copy(
+                        x_hbm.at[f, pl.ds(n - H, H), :],
+                        st_tile.at[slot, f, pl.ds(0, H), :],
+                        sems.at[slot, 6 + f]).start()
+
+            @pl.when(blk > 0)
+            def _():
+                for f in range(5):
+                    pltpu.make_async_copy(
+                        x_hbm.at[f, pl.ds(r0 - H, H), :],
+                        st_tile.at[slot, f, pl.ds(0, H), :],
+                        sems.at[slot, 6 + f]).start()
+
+            @pl.when(blk == last)
+            def _():
+                for f in range(5):
+                    pltpu.make_async_copy(
+                        x_hbm.at[f, pl.ds(0, H), :],
+                        st_tile.at[slot, f, pl.ds(H + TR, H), :],
+                        sems.at[slot, 11 + f]).start()
+
+            @pl.when(blk < last)
+            def _():
+                for f in range(5):
+                    pltpu.make_async_copy(
+                        x_hbm.at[f, pl.ds(r0 + TR, H), :],
+                        st_tile.at[slot, f, pl.ds(H + TR, H), :],
+                        sems.at[slot, 11 + f]).start()
+
+        cur = jax.lax.rem(i, jnp.int32(2))
+        nxt = jax.lax.rem(i + jnp.int32(1), jnp.int32(2))
+
+        @pl.when(i == 0)        # warm-up: block 0 into slot 0
+        def _():
+            issue(cur, i)
+
+        @pl.when(i < last)      # prefetch block i+1 while block i computes
+        def _():
+            issue(nxt, i + 1)
+
+        # drain block i's copies (issued by program i-1, or above for i==0);
+        # shape-matched dummies against the same semaphores
+        pltpu.make_async_copy(
+            tn_hbm.at[pl.ds(0, TR + 2 * H), :], tn_tile.at[cur],
+            sems.at[cur, 0]).wait()
+        for f in range(5):
+            pltpu.make_async_copy(
+                x_hbm.at[f, pl.ds(0, TR), :],
+                st_tile.at[cur, f, pl.ds(H, TR), :], sems.at[cur, 1 + f]).wait()
+            pltpu.make_async_copy(
+                x_hbm.at[f, pl.ds(0, H), :],
+                st_tile.at[cur, f, pl.ds(0, H), :], sems.at[cur, 6 + f]).wait()
+            pltpu.make_async_copy(
+                x_hbm.at[f, pl.ds(0, H), :],
+                st_tile.at[cur, f, pl.ds(H + TR, H), :],
+                sems.at[cur, 11 + f]).wait()
+
+        out = multiphase_apply_math(
+            sh, tn_tile[cur], wnx_ref[:, :], wny_ref[:, :],
+            st_tile[cur, 0], st_tile[cur, 1], st_tile[cur, 2],
+            st_tile[cur, 3], st_tile[cur, 4], params, dx, dy)
+        for f in range(5):
+            out_ref[f, :, :] = out[f]
+
+    call = pl.pallas_call(
+        kernel,
+        grid=(n_blocks,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pl.ANY),       # Tn_ext (n+2H, n)
+            pl.BlockSpec((TR, n), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),   # Wnx
+            pl.BlockSpec((TR, n), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),   # Wny
+            pl.BlockSpec(memory_space=pl.ANY),       # state (5, n, n)
+        ],
+        out_specs=pl.BlockSpec((5, TR, n), lambda i: (0, i, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((5, n, n), dtype),
+        scratch_shapes=[
+            pltpu.VMEM((2, TR + 2 * H, n), dtype),
+            pltpu.VMEM((2, 5, TR + 2 * H, n), dtype),
+            pltpu.SemaphoreType.DMA((2, 16)),
+        ],
+        interpret=interpret,
+        cost_estimate=pl.CostEstimate(
+            flops=120 * n * n, transcendentals=0,
+            bytes_accessed=13 * n * n * itemsize),
+    )
+
+    def mv(vec):
+        return call(Tn_ext, Wnx, Wny, vec)
+
+    return mv
+
+
 def multiphase_pallas_apply_inkernel_halo(op: MultiphaseOperator,
                                           interpret: bool = False,
                                           block_rows: int = 64) -> Callable:

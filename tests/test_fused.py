@@ -52,9 +52,9 @@ def test_fused_sharded_matches(mesh8):
     assert len(got.sharding.device_set) == 8
 
 
-@pytest.mark.parametrize("halo", ["extend", "inkernel"])
+@pytest.mark.parametrize("halo", ["extend", "inkernel", "pipelined"])
 def test_fused_pallas_interpret_matches(halo):
-    """Pallas fused-apply kernels (both halo strategies) equal the XLA roll
+    """Pallas fused-apply kernels (all halo strategies) equal the XLA roll
     apply — interpret mode (on-chip numbers: bench.py / KERNELS_r03)."""
     from mpbp_tpu.models.fused import make_fused_apply_pallas
 
