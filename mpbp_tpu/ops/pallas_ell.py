@@ -232,8 +232,12 @@ def ell_spmm_pallas(A: BandedELL, k: int,
     W = A.total_width
     kp = max(_LANES, ((k + _LANES - 1) // _LANES) * _LANES)  # lane-pad k
 
-    idx3 = jnp.moveaxis(A.idx.reshape(R, _LANES, W), 2, 0)   # (W, R, 128)
-    val3 = jnp.moveaxis(A.vals.reshape(R, _LANES, W), 2, 0)
+    # (R, W, 128): the grid-blocked dim LEADS so each program's block
+    # (1, W, 128) has its last two dims equal to the full array dims —
+    # Mosaic requires blocked trailing dims be 8/128-divisible or full
+    # (the former (W, 1, 128) layout failed that check on chip).
+    idx3 = jnp.swapaxes(A.idx.reshape(R, _LANES, W), 1, 2)
+    val3 = jnp.swapaxes(A.vals.reshape(R, _LANES, W), 1, 2)
 
     def kernel(x2_hbm, idx_ref, val_ref, out_ref, slab_vmem, sem):
         q = pl.program_id(0)
@@ -248,8 +252,8 @@ def ell_spmm_pallas(A: BandedELL, k: int,
             cp.start()
             P = jnp.zeros((_LANES, _SLAB), dtype)
             for j in range(w0, w0 + wb):
-                rel = idx_ref[j, 0, :]                       # (128,)
-                v = val_ref[j, 0, :]
+                rel = idx_ref[0, j, :]                       # (128,)
+                v = val_ref[0, j, :]
                 P = P + jnp.where(s_iota == l_iota + rel[:, None],
                                   v[:, None], jnp.zeros((), dtype))
             cp.wait()
@@ -263,9 +267,9 @@ def ell_spmm_pallas(A: BandedELL, k: int,
         grid=(R,),
         in_specs=[
             pl.BlockSpec(memory_space=pl.ANY),                # X2 (2N, kp)
-            pl.BlockSpec((W, 1, _LANES), lambda i: (0, i, 0),
+            pl.BlockSpec((1, W, _LANES), lambda i: (i, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((W, 1, _LANES), lambda i: (0, i, 0),
+            pl.BlockSpec((1, W, _LANES), lambda i: (i, 0, 0),
                          memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec((_LANES, kp), lambda i: (i, 0),

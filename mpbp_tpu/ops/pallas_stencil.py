@@ -5,9 +5,10 @@ kernels that materialize shifted planes — measured only ~85 GB/s effective
 HBM bandwidth on a v5e. This kernel does the whole A-apply in one pass:
 
   * state arrives row-extended (5, n+2H, n) (the +-H wrap rows are appended
-    by XLA before the call — ~3% extra rows; the alternative, in-kernel
-    wrapped halo DMAs, needs modular/predicated source indices that this
-    environment's Mosaic remote-compiler rejects);
+    by XLA before the call — ~3% extra rows; the in-kernel-halo and
+    pipelined variants below avoid that copy with predicated wrap-row DMAs,
+    which compile once every dynamic row start carries the _ds8
+    divisibility hint);
   * grid = row stripes; each program issues ONE contiguous aligned DMA per
     plane (theta tile + 5 state planes) from HBM into VMEM scratch;
   * computes all 5 outputs with the exact shared arithmetic of
@@ -36,6 +37,16 @@ from mpbp_tpu.models.fused import multiphase_apply_math
 from mpbp_tpu.models.multiphase import MultiphaseOperator
 
 _H = 8  # sublane-tile halo (see module docstring)
+
+
+def _ds8(start, size):
+    """pl.ds with an 8-divisibility hint on the (dynamic) start: every row
+    start in these kernels is a multiple of 8 by construction (TR % 8 == 0,
+    H == 8), but once an array spans >1 lane tile Mosaic's divisibility
+    prover gives up on i*TR - 8 style expressions and rejects the
+    memref_slice ("Failed to prove that a tile index in dimension 1 is
+    divisible by the tiling (8)" — observed on-chip at n >= 256)."""
+    return pl.ds(pl.multiple_of(start, 8), size)
 
 
 def _tile_shift(TR: int):
@@ -79,10 +90,10 @@ def multiphase_pallas_apply(op: MultiphaseOperator, interpret: bool = False,
         r0 = i * TR
 
         copies = [pltpu.make_async_copy(
-            tn_hbm.at[pl.ds(r0, TR + 2 * H), :], tn_tile, sems.at[0])]
+            tn_hbm.at[_ds8(r0, TR + 2 * H), :], tn_tile, sems.at[0])]
         for f in range(5):
             copies.append(pltpu.make_async_copy(
-                state_hbm.at[f, pl.ds(r0, TR + 2 * H), :],
+                state_hbm.at[f, _ds8(r0, TR + 2 * H), :],
                 st_tile.at[f], sems.at[1 + f]))
         for c in copies:
             c.start()
@@ -192,11 +203,11 @@ def multiphase_pallas_apply_pipelined(op: MultiphaseOperator,
             the single-buffered kernel."""
             r0 = blk * TR
             pltpu.make_async_copy(
-                tn_hbm.at[pl.ds(r0, TR + 2 * H), :], tn_tile.at[slot],
+                tn_hbm.at[_ds8(r0, TR + 2 * H), :], tn_tile.at[slot],
                 sems.at[slot, 0]).start()
             for f in range(5):
                 pltpu.make_async_copy(
-                    x_hbm.at[f, pl.ds(r0, TR), :],
+                    x_hbm.at[f, _ds8(r0, TR), :],
                     st_tile.at[slot, f, pl.ds(H, TR), :],
                     sems.at[slot, 1 + f]).start()
 
@@ -212,7 +223,7 @@ def multiphase_pallas_apply_pipelined(op: MultiphaseOperator,
             def _():
                 for f in range(5):
                     pltpu.make_async_copy(
-                        x_hbm.at[f, pl.ds(r0 - H, H), :],
+                        x_hbm.at[f, _ds8(r0 - H, H), :],
                         st_tile.at[slot, f, pl.ds(0, H), :],
                         sems.at[slot, 6 + f]).start()
 
@@ -228,7 +239,7 @@ def multiphase_pallas_apply_pipelined(op: MultiphaseOperator,
             def _():
                 for f in range(5):
                     pltpu.make_async_copy(
-                        x_hbm.at[f, pl.ds(r0 + TR, H), :],
+                        x_hbm.at[f, _ds8(r0 + TR, H), :],
                         st_tile.at[slot, f, pl.ds(H + TR, H), :],
                         sems.at[slot, 11 + f]).start()
 
@@ -339,12 +350,12 @@ def multiphase_pallas_apply_inkernel_halo(op: MultiphaseOperator,
         r0 = i * TR
 
         tn_cp = pltpu.make_async_copy(
-            tn_hbm.at[pl.ds(r0, TR + 2 * H), :], tn_tile, sems.at[0])
+            tn_hbm.at[_ds8(r0, TR + 2 * H), :], tn_tile, sems.at[0])
         tn_cp.start()
 
         # interior rows [r0, r0+TR) -> tile rows [H, H+TR)
         mids = [pltpu.make_async_copy(
-            x_hbm.at[f, pl.ds(r0, TR), :], st_tile.at[f, pl.ds(H, TR), :],
+            x_hbm.at[f, _ds8(r0, TR), :], st_tile.at[f, pl.ds(H, TR), :],
             sems.at[1 + f]) for f in range(5)]
         for c in mids:
             c.start()
@@ -362,7 +373,7 @@ def multiphase_pallas_apply_inkernel_halo(op: MultiphaseOperator,
         @pl.when(i > 0)
         def _():
             cps = [pltpu.make_async_copy(
-                x_hbm.at[f, pl.ds(r0 - H, H), :],
+                x_hbm.at[f, _ds8(r0 - H, H), :],
                 st_tile.at[f, pl.ds(0, H), :], sems.at[6 + f])
                 for f in range(5)]
             for c in cps:
@@ -381,7 +392,7 @@ def multiphase_pallas_apply_inkernel_halo(op: MultiphaseOperator,
         @pl.when(i < last)
         def _():
             cps = [pltpu.make_async_copy(
-                x_hbm.at[f, pl.ds(r0 + TR, H), :],
+                x_hbm.at[f, _ds8(r0 + TR, H), :],
                 st_tile.at[f, pl.ds(H + TR, H), :], sems.at[11 + f])
                 for f in range(5)]
             for c in cps:
