@@ -166,12 +166,20 @@ def main(argv=None):
         log(f"building GtG + ILUT factors, n={ne} ...")
         gtg_csr = _gtg_csr(ne)
         ip, ix, vv = gtg_csr.host_arrays()
-        (Lp, Li, Lv), (Up, Ui, Uv) = native.ilut(ip, ix, vv,
-                                                 fill=100, tau=1e-3)
-        u_csr = CSRMatrix(gtg_csr.shape, jnp.asarray(np.asarray(Up)),
-                          jnp.asarray(np.asarray(Ui)),
-                          jnp.asarray(np.asarray(Uv, np.float32)))
-        ell = BandedELL.from_csr(u_csr)
+        # adapt the ILUT fill downward until the factor's band width fits
+        # the kernel's VMEM gate (fill=100 at n=256 lands at W=129, one
+        # band-slot over — measured on chip)
+        for fill in (100, 64, 40, 24):
+            (Lp, Li, Lv), (Up, Ui, Uv) = native.ilut(ip, ix, vv,
+                                                     fill=fill, tau=1e-3)
+            u_csr = CSRMatrix(gtg_csr.shape, jnp.asarray(np.asarray(Up)),
+                              jnp.asarray(np.asarray(Ui)),
+                              jnp.asarray(np.asarray(Uv, np.float32)))
+            ell = BandedELL.from_csr(u_csr)
+            if ell_spmv_supported(ell, jnp.float32):
+                break
+            log(f"  ILUT fill={fill}: W={ell.total_width} over the VMEM "
+                "gate, retrying with less fill")
         Ne = u_csr.shape[0]
         nnz_e = int(np.count_nonzero(np.asarray(Uv)))
         assert ell_spmv_supported(ell, jnp.float32), (Ne, ell.total_width)

@@ -67,21 +67,22 @@ def _extend_rows(x: jax.Array, H: int) -> jax.Array:
     return jnp.concatenate([x[..., -H:, :], x, x[..., :H, :]], axis=-2)
 
 
-def multiphase_pallas_apply(op: MultiphaseOperator, interpret: bool = False,
-                            block_rows: int = 64) -> Callable:
-    n = op.grid.n
-    TR = min(block_rows, n)
-    while n % TR:
+def build_fused_tile_call(n_loc: int, n: int, dtype, params: dict,
+                          dx: float, dy: float, block_rows: int = 64,
+                          interpret: bool = False) -> Callable:
+    """The row-extend fused-apply kernel on an arbitrary ROW BAND: returns
+    `call(tn_ext, wnx, wny, x_ext) -> (5, n_loc, n)` where tn_ext / x_ext
+    carry +-H extra rows (periodic wrap for the global apply; neighbor halo
+    rows from ppermute for the shard_map path in parallel/pallas_sharded.py).
+    n_loc is the band's interior row count; n is the full (unsharded) column
+    count."""
+    TR = min(block_rows, n_loc)
+    while n_loc % TR:
         TR //= 2
-    n_blocks = n // TR
-    dtype = op.phase_n.cell.dtype
-    params = {k: float(v) for k, v in op.params.items() if k != "n"}
-    dx, dy = op.grid.dx, op.grid.dy
+    n_blocks = n_loc // TR
+    params = {k: float(v) for k, v in params.items() if k != "n"}
     H = _H
     assert TR >= H and TR % H == 0, (TR, H)
-
-    Tn_ext = _extend_rows(op.phase_n.cell, H)       # static, built once
-    Wnx, Wny = op.phase_n.xface_pt, op.phase_n.yface_pt
     sh = _tile_shift(TR)
 
     def kernel(tn_hbm, wnx_ref, wny_ref, state_hbm, out_ref,
@@ -107,20 +108,20 @@ def multiphase_pallas_apply(op: MultiphaseOperator, interpret: bool = False,
         for f in range(5):
             out_ref[f, :, :] = out[f]
 
-    call = pl.pallas_call(
+    return pl.pallas_call(
         kernel,
         grid=(n_blocks,),
         in_specs=[
-            pl.BlockSpec(memory_space=pl.ANY),       # Tn_ext (n+2H, n)
+            pl.BlockSpec(memory_space=pl.ANY),       # tn_ext (n_loc+2H, n)
             pl.BlockSpec((TR, n), lambda i: (i, 0),
                          memory_space=pltpu.VMEM),   # Wnx
             pl.BlockSpec((TR, n), lambda i: (i, 0),
                          memory_space=pltpu.VMEM),   # Wny
-            pl.BlockSpec(memory_space=pl.ANY),       # state_ext (5, n+2H, n)
+            pl.BlockSpec(memory_space=pl.ANY),       # x_ext (5, n_loc+2H, n)
         ],
         out_specs=pl.BlockSpec((5, TR, n), lambda i: (0, i, 0),
                                memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((5, n, n), dtype),
+        out_shape=jax.ShapeDtypeStruct((5, n_loc, n), dtype),
         scratch_shapes=[
             pltpu.VMEM((TR + 2 * H, n), dtype),
             pltpu.VMEM((5, TR + 2 * H, n), dtype),
@@ -128,9 +129,21 @@ def multiphase_pallas_apply(op: MultiphaseOperator, interpret: bool = False,
         ],
         interpret=interpret,
         cost_estimate=pl.CostEstimate(
-            flops=120 * n * n, transcendentals=0,
-            bytes_accessed=13 * n * n * np.dtype(np.float32).itemsize),
+            flops=120 * n_loc * n, transcendentals=0,
+            bytes_accessed=13 * n_loc * n * np.dtype(np.float32).itemsize),
     )
+
+
+def multiphase_pallas_apply(op: MultiphaseOperator, interpret: bool = False,
+                            block_rows: int = 64) -> Callable:
+    n = op.grid.n
+    dtype = op.phase_n.cell.dtype
+    H = _H
+    Tn_ext = _extend_rows(op.phase_n.cell, H)       # static, built once
+    Wnx, Wny = op.phase_n.xface_pt, op.phase_n.yface_pt
+    call = build_fused_tile_call(n, n, dtype, op.params, op.grid.dx,
+                                 op.grid.dy, block_rows=block_rows,
+                                 interpret=interpret)
 
     def mv(vec):
         return call(Tn_ext, Wnx, Wny, _extend_rows(vec, H))

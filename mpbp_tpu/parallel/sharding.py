@@ -197,7 +197,8 @@ def make_sharded_lsc_pc(sop: MultiphaseOperator,
 def sharded_solve(mop: MultiphaseOperator, b_state: dict, mesh: Mesh,
                   tol: float = 1e-8, maxiter: int = 100,
                   pc: Callable | None = None, axis: str = "x",
-                  orthog: str = "cgs2", fused: bool = True):
+                  orthog: str = "cgs2", fused: bool = True,
+                  pallas: bool = False):
     """FGMRES on the row-sharded multiphase system.
 
     The returned work runs fully SPMD: stencil applies exchange halos over
@@ -214,6 +215,12 @@ def sharded_solve(mop: MultiphaseOperator, b_state: dict, mesh: Mesh,
     orthog='cgs1' switches to the pipelined single-reduction Arnoldi
     (solvers/gmres.py) — preferred when the mesh spans hosts and DCN
     reduction latency rivals the matvec (BASELINE configs[4]).
+
+    pallas=True swaps the matvec for the shard_map'd per-device Pallas
+    fused-apply kernel (parallel/pallas_sharded.py): explicit ppermute halo
+    rows + one hand-fused kernel per device per iteration — the multi-chip
+    form of the bench.py hero kernel. Requires the row band per device to
+    be a multiple of 8 rows; falls back to the XLA fused apply otherwise.
     """
     from mpbp_tpu.models.fused import make_fused_apply
     from mpbp_tpu.solvers import gmres as krylov
@@ -221,7 +228,15 @@ def sharded_solve(mop: MultiphaseOperator, b_state: dict, mesh: Mesh,
     sop = shard_multiphase(mop, mesh, axis)
     vsh = vector_sharding(mesh, axis)
     b = jax.device_put(stack_state(b_state), vsh)
-    mv = make_fused_apply(sop) if fused else stacked_matvec(sop.A)
+    if pallas:
+        from mpbp_tpu.parallel.pallas_sharded import (
+            make_fused_apply_pallas_sharded, pallas_sharded_supported)
+        if pallas_sharded_supported(sop, mesh, axis):
+            mv = make_fused_apply_pallas_sharded(sop, mesh, axis)
+        else:
+            mv = make_fused_apply(sop)
+    else:
+        mv = make_fused_apply(sop) if fused else stacked_matvec(sop.A)
 
     @partial(jax.jit, out_shardings=None)
     def run(bv):
