@@ -73,18 +73,31 @@ def main(argv=None):
     log(f"kernels_tpu: device={dev}")
     results = []
 
+    from mpbp_tpu.utils.hoist import hoist_closure
+
+    def jit_h(fn, example):
+        """jit with the operator arrays hoisted to call arguments — without
+        this the n=1024 matrices (~300-700 MB of data) enter the AOT compile
+        payload as constants and the remote-compile relay rejects the
+        request with HTTP 413 (observed r3)."""
+        fnc, consts = hoist_closure(fn, example)
+        jfn = jax.jit(fnc)
+        return lambda x: jfn(x, *consts)
+
     def timed(fn, v, label, nnz, reps=3, lo=50, hi=200):
         """Marginal per-apply time of fn via chained device iterations."""
+        fnc, consts = hoist_closure(fn, v)
+
         @jax.jit
-        def chain(v, k):
+        def chain(v, consts, k):
             def body(_, x):
-                y = fn(x)
+                y = fnc(x, *consts)
                 return y / jnp.maximum(jnp.max(jnp.abs(y)), 1e-30)
             return jax.lax.fori_loop(0, k, body, v)
 
         def run(k):
             t0 = time.time()
-            float(jnp.sum(chain(v, k)))
+            float(jnp.sum(chain(v, consts, k)))
             return time.time() - t0
 
         t0 = time.time()
@@ -128,8 +141,8 @@ def main(argv=None):
         assert dia_spmv_supported(dia), (N, K)
         x = jnp.asarray(rng.normal(size=N).astype(np.float32))
         mv = dia_spmv_pallas(dia)
-        ref = jax.jit(dia.matvec)(x)           # XLA roll path, on chip
-        perr = parity_check(jax.jit(mv)(x), ref)
+        ref = jit_h(dia.matvec, x)(x)          # XLA roll path, on chip
+        perr = parity_check(jit_h(mv, x)(x), ref)
         log(f"resident DIA: N={N}, K={K}, parity {perr:.2e}")
         dt, _ = timed(mv, x, "dia_resident", nnz)
         record("dia_resident_spmv", n, N, nnz, dt, perr, {"K": K})
@@ -146,8 +159,8 @@ def main(argv=None):
         assert dia_spmv_streamed_supported(dia_s), (Ns, len(dia_s.offsets))
         xs = jnp.asarray(rng.normal(size=Ns).astype(np.float32))
         mv_s = dia_spmv_pallas_streamed(dia_s)
-        ref_s = jax.jit(dia_s.matvec)(xs)
-        perr = parity_check(jax.jit(mv_s)(xs), ref_s)
+        ref_s = jit_h(dia_s.matvec, xs)(xs)
+        perr = parity_check(jit_h(mv_s, xs)(xs), ref_s)
         log(f"streamed DIA: N={Ns}, K={len(dia_s.offsets)}, parity {perr:.2e}")
         dt, _ = timed(mv_s, xs, "dia_streamed", nnz_s)
         record("dia_streamed_spmv", ns, Ns, nnz_s, dt, perr,
@@ -185,8 +198,8 @@ def main(argv=None):
         assert ell_spmv_supported(ell, jnp.float32), (Ne, ell.total_width)
         xe = jnp.asarray(rng.normal(size=Ne).astype(np.float32))
         mv_e = ell_spmv_pallas(ell)
-        ref_e = jax.jit(ell.matvec)(xe)
-        perr = parity_check(jax.jit(mv_e)(xe), ref_e)
+        ref_e = jit_h(ell.matvec, xe)(xe)
+        perr = parity_check(jit_h(mv_e, xe)(xe), ref_e)
         log(f"banded ELL (ILUT-U of GtG): N={Ne}, bands={len(ell.offsets)}, "
             f"W={ell.total_width}, parity {perr:.2e}")
         dt, _ = timed(mv_e, xe, "ell_spmv", nnz_e)
@@ -203,8 +216,8 @@ def main(argv=None):
         k = 16
         mm = ell_spmm_pallas(ell_g, k)
         X = jnp.asarray(rng.normal(size=(Ne, k)).astype(np.float32))
-        ref_mm = jax.jit(jax.vmap(ell_g.matvec, in_axes=1, out_axes=1))(X)
-        got_mm = jax.jit(mm)(X)
+        ref_mm = jit_h(jax.vmap(ell_g.matvec, in_axes=1, out_axes=1), X)(X)
+        got_mm = jit_h(mm, X)(X)
         perr = parity_check(got_mm, ref_mm)
         nnz_g = gtg32.nnz
         log(f"one-hot SpMM: N={Ne}, k={k}, parity {perr:.2e}")
@@ -227,7 +240,7 @@ def main(argv=None):
         y_host = native.lower_solve_unit_host(Lp2, Li2, Lv2,
                                               np.asarray(bt, np.float64))
         z_host = native.upper_solve_host(Up2, Ui2, Uv2, y_host)
-        got = jax.jit(ilu.solve)(bt)
+        got = jit_h(ilu.solve, bt)(bt)
         perr = parity_check(got, z_host)
         nnz_f = len(Li2) + len(Ui2)
         levels = int(ilu.lower.n_levels) + int(ilu.upper.n_levels)
@@ -245,7 +258,7 @@ def main(argv=None):
         neu = ILUPreconditioner.ilut(ct, fill=100, tau=1e-3,
                                      dtype=jnp.float32, apply="neumann",
                                      sweeps=sweeps)
-        perr_n = parity_check(jax.jit(neu.solve)(bt), z_host)
+        perr_n = parity_check(jit_h(neu.solve, bt)(bt), z_host)
         dt, _ = timed(neu.solve, bt, f"neumann_trisolve_n{ntri}",
                       nnz_f * sweeps, lo=5, hi=20)
         record("neumann_trisolve_ilut_apply", ntri, Nt, nnz_f * sweeps, dt,
@@ -264,7 +277,7 @@ def main(argv=None):
                                       eta_s=1.0, dtype=jnp.float32)
         nnz = sum(len(m) for m in op.A.terms.values()) * n * n
         v = jnp.asarray(rng.normal(size=(5, n, n)).astype(np.float32))
-        ref = jax.jit(make_fused_apply(op))(v)
+        ref = jit_h(make_fused_apply(op), v)(v)
         variants = [("fused_xla_roll", lambda: make_fused_apply(op)),
                     ("fused_pallas_extend",
                      lambda: make_fused_apply_pallas(op, halo="extend")),
@@ -275,7 +288,7 @@ def main(argv=None):
         for name, maker in variants:
             try:
                 mv = maker()
-                perr = parity_check(jax.jit(mv)(v), ref)
+                perr = parity_check(jit_h(mv, v)(v), ref)
                 dt, _ = timed(mv, v, name, nnz)
                 record(name, n, 5 * n * n, nnz, dt, perr)
             except Exception as e:  # pragma: no cover - hardware-dependent

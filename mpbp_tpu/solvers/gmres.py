@@ -80,6 +80,19 @@ def _identity(v):
     return v
 
 
+# ---------------------------------------------------------------------------
+# Closure-constant hoisting. The jitted Krylov cycles take matvec/M as STATIC
+# arguments, so every array they close over (stencil coefficient planes, MG
+# hierarchies, ILU factors) is baked into the compiled program as an HLO
+# constant. At 2048^2 the LSC-MG preconditioner's planes total >500 MB and the
+# AOT compile payload blows past the remote-compile relay's request limit
+# (observed on chip: HTTP 413 at n=2048, fine at n=512). jax.closure_convert
+# lifts those arrays into explicit arguments, which the cycle jits below
+# thread through as ordinary device buffers instead.
+# ---------------------------------------------------------------------------
+from mpbp_tpu.utils.hoist import hoist_closure as _hoist  # noqa: E402
+
+
 def _tdot(a, b, axes):
     """tensordot at HIGHEST precision. On TPU the default matmul precision
     multiplies in bf16 (~3 decimal digits) — fatal for Gram-Schmidt on
@@ -250,46 +263,52 @@ def _arnoldi_solution(state: ArnoldiState, x0, m: int, M, use_z: bool,
 @partial(jax.jit, static_argnames=("matvec", "M", "maxiter", "use_z",
                                    "orthog"))
 def _fgmres_cycle(matvec, b, x0, tol, maxiter: int, M, use_z: bool,
-                  orthog: str = "cgs2"):
+                  orthog: str = "cgs2", mv_consts=(), M_consts=()):
     """One FGMRES cycle. `b`/`x0` may be ANY array shape (1-D flat vectors or
     stacked grid fields (5, n, n) for the sharded path); the Krylov basis adds
-    a leading axis."""
+    a leading axis. matvec/M are hoisted forms fn(v, *consts) — see _hoist —
+    with their closure arrays arriving through mv_consts/M_consts as dynamic
+    arguments (plain closures also work: consts default to ())."""
+    mv = lambda v: matvec(v, *mv_consts)        # noqa: E731
+    Mp = lambda v: M(v, *M_consts)              # noqa: E731
     m = maxiter
     b_norm = _vnorm(b)
     safe_bnorm = jnp.where(b_norm == 0, 1.0, b_norm)
 
-    state = _arnoldi_init(matvec, b, x0, m, use_z, tol)
-    body = _arnoldi_body(matvec, M, use_z, orthog, m, tol, safe_bnorm)
+    state = _arnoldi_init(mv, b, x0, m, use_z, tol)
+    body = _arnoldi_body(mv, Mp, use_z, orthog, m, tol, safe_bnorm)
 
     def cond(c):
         return (~c.done) & (c.j < m)
 
     state = jax.lax.while_loop(cond, body, state)
-    return _arnoldi_solution(state, x0, m, M, use_z, safe_bnorm)
+    return _arnoldi_solution(state, x0, m, Mp, use_z, safe_bnorm)
 
 
 @partial(jax.jit, static_argnames=("matvec", "M", "maxiter", "use_z",
                                    "orthog", "max_steps"))
 def _fgmres_steps(matvec, b, x0, tol, maxiter: int, M, use_z: bool,
                   orthog: str, state: ArnoldiState | None,
-                  max_steps: int | None):
+                  max_steps: int | None, mv_consts=(), M_consts=()):
     """Run at most `max_steps` more iterations from `state` (fresh state if
     None), returning (KrylovResult, ArnoldiState) — the checkpointable
     driver behind fgmres_resumable."""
+    mv = lambda v: matvec(v, *mv_consts)        # noqa: E731
+    Mp = lambda v: M(v, *M_consts)              # noqa: E731
     m = maxiter
     b_norm = _vnorm(b)
     safe_bnorm = jnp.where(b_norm == 0, 1.0, b_norm)
 
     if state is None:
-        state = _arnoldi_init(matvec, b, x0, m, use_z, tol)
-    body = _arnoldi_body(matvec, M, use_z, orthog, m, tol, safe_bnorm)
+        state = _arnoldi_init(mv, b, x0, m, use_z, tol)
+    body = _arnoldi_body(mv, Mp, use_z, orthog, m, tol, safe_bnorm)
     j_stop = m if max_steps is None else jnp.minimum(state.j + max_steps, m)
 
     def cond(c):
         return (~c.done) & (c.j < j_stop)
 
     state = jax.lax.while_loop(cond, body, state)
-    return _arnoldi_solution(state, x0, m, M, use_z, safe_bnorm), state
+    return _arnoldi_solution(state, x0, m, Mp, use_z, safe_bnorm), state
 
 
 def fgmres_resumable(matvec: Callable, b: jax.Array,
@@ -307,9 +326,10 @@ def fgmres_resumable(matvec: Callable, b: jax.Array,
     history match the uninterrupted solve (tests/test_gmres.py)."""
     if x0 is None:
         x0 = jnp.zeros_like(b)
-    M = M if M is not None else _identity
+    matvec, mvc = _hoist(matvec, b)
+    M, Mc = _hoist(M, b)
     return _fgmres_steps(matvec, b, x0, tol, maxiter, M, True, orthog,
-                         state, max_steps)
+                         state, max_steps, mvc, Mc)
 
 
 def fgmres(matvec: Callable, b: jax.Array, x0: jax.Array | None = None,
@@ -330,11 +350,14 @@ def fgmres(matvec: Callable, b: jax.Array, x0: jax.Array | None = None,
     """
     if x0 is None:
         x0 = jnp.zeros_like(b)
-    M = M if M is not None else _identity
+    matvec, mvc = _hoist(matvec, b)
+    M, Mc = _hoist(M, b)
     if restart is None or restart >= maxiter:
-        return _fgmres_cycle(matvec, b, x0, tol, maxiter, M, True, orthog)
+        return _fgmres_cycle(matvec, b, x0, tol, maxiter, M, True, orthog,
+                             mvc, Mc)
 
-    return _restarted(matvec, b, x0, tol, maxiter, restart, M, True, orthog)
+    return _restarted(matvec, b, x0, tol, maxiter, restart, M, True, orthog,
+                      mvc, Mc)
 
 
 def gmres(matvec: Callable, b: jax.Array, x0: jax.Array | None = None,
@@ -346,10 +369,13 @@ def gmres(matvec: Callable, b: jax.Array, x0: jax.Array | None = None,
     solution update. See `fgmres` for `orthog`."""
     if x0 is None:
         x0 = jnp.zeros_like(b)
-    M = M if M is not None else _identity
+    matvec, mvc = _hoist(matvec, b)
+    M, Mc = _hoist(M, b)
     if restart is None or restart >= maxiter:
-        return _fgmres_cycle(matvec, b, x0, tol, maxiter, M, False, orthog)
-    return _restarted(matvec, b, x0, tol, maxiter, restart, M, False, orthog)
+        return _fgmres_cycle(matvec, b, x0, tol, maxiter, M, False, orthog,
+                             mvc, Mc)
+    return _restarted(matvec, b, x0, tol, maxiter, restart, M, False, orthog,
+                      mvc, Mc)
 
 
 def _host_scalar(x):
@@ -361,8 +387,8 @@ def _host_scalar(x):
     return np.asarray(x)
 
 
-def _restarted(matvec, b, x0, tol, maxiter, restart, M, use_z, orthog
-               ) -> KrylovResult:
+def _restarted(matvec, b, x0, tol, maxiter, restart, M, use_z, orthog,
+               mv_consts=(), M_consts=()) -> KrylovResult:
     """Host loop over jitted cycles with a correctly stitched history.
 
     The stitched history has one entry per residual-norm estimate: the
@@ -376,7 +402,8 @@ def _restarted(matvec, b, x0, tol, maxiter, restart, M, use_z, orthog
     remaining = maxiter
     while remaining > 0:
         cycle = min(restart, remaining)
-        result = _fgmres_cycle(matvec, b, x, tol, cycle, M, use_z, orthog)
+        result = _fgmres_cycle(matvec, b, x, tol, cycle, M, use_z, orthog,
+                               mv_consts, M_consts)
         x = result.x
         it = int(_host_scalar(result.iters))
         total_iters += it
@@ -392,13 +419,25 @@ def _restarted(matvec, b, x0, tol, maxiter, restart, M, use_z, orthog
                         full_hist, result.converged)
 
 
-@partial(jax.jit, static_argnames=("matvec", "M", "maxiter"))
 def cg(matvec: Callable, b: jax.Array, x0: jax.Array | None = None,
        tol: float = 1e-8, maxiter: int = 200, M: Callable = _identity
        ) -> KrylovResult:
     """Preconditioned conjugate gradients for SPD operators (inner solves on
     the pressure Poisson block Gt_G — the SPD analog of the reference's ILU
-    inner solve at solve.py:265)."""
+    inner solve at solve.py:265). Closure arrays are hoisted to jit
+    arguments like fgmres (see _hoist)."""
+    matvec, mvc = _hoist(matvec, b)
+    M, Mc = _hoist(M, b)
+    return _cg_jit(matvec, b, x0, tol, maxiter, M, mvc, Mc)
+
+
+@partial(jax.jit, static_argnames=("matvec", "M", "maxiter"))
+def _cg_jit(matvec, b, x0, tol, maxiter: int, M, mv_consts=(), M_consts=()
+            ) -> KrylovResult:
+    mv = matvec
+    matvec = lambda v: mv(v, *mv_consts)        # noqa: E731
+    Mh = M
+    M = lambda v: Mh(v, *M_consts)              # noqa: E731
     if x0 is None:
         x0 = jnp.zeros_like(b)
     b_norm = _vnorm(b)
