@@ -25,6 +25,7 @@ from __future__ import annotations
 
 import dataclasses
 from functools import partial
+from typing import Callable
 
 import jax
 import jax.numpy as jnp
@@ -191,16 +192,25 @@ class NeumannTriSolve:
     alternative to LevelTriSolve: no ~2n-level wavefront sequencing, just
     `sweeps` fully-parallel ELL SpMV passes. Legal as an inner solve under
     the flexible outer Krylov method at the cost of extra outer iterations
-    (the trade measured by benchmarks/kernels_tpu.py / solve_tpu.py)."""
+    (the trade measured by benchmarks/kernels_tpu.py / solve_tpu.py).
+
+    On TPU the sweep SpMV dispatches to the banded-ELL Pallas kernel when the
+    strict triangle fits its gate (ops/pallas_ell.py): the generic
+    `x[cols]` row-gather form lowers to ~ms-scale dynamic gathers on chip
+    (measured 15 ms/sweep at N=16k in r3), while the banded kernel's in-lane
+    rolls are bandwidth-bound. `bell` carries the banded form; it is None
+    when unsupported (or off-TPU), falling back to the gather sweeps."""
 
     n: int
     sweeps: int
     cols: jax.Array     # (n, K) int32, self-reference padded
     vals: jax.Array     # (n, K), padded 0
     diag: jax.Array     # (n,)
+    bell: object | None = None     # BandedELL of the strict triangle
 
     def tree_flatten(self):
-        return (self.cols, self.vals, self.diag), (self.n, self.sweeps)
+        return (self.cols, self.vals, self.diag, self.bell), \
+            (self.n, self.sweeps)
 
     @classmethod
     def tree_unflatten(cls, aux, leaves):
@@ -211,13 +221,43 @@ class NeumannTriSolve:
                  diag_vals=None, dtype=jnp.float64) -> "NeumannTriSolve":
         """Same contract as LevelTriSolve.from_csr: strictly-triangular CSR
         (no diagonal), optional separate diagonal (None = unit)."""
+        from mpbp_tpu.ops.pallas_ell import BandedELL, ell_spmv_supported
+        from mpbp_tpu.ops.sparse import CSRMatrix
+
         n = len(indptr) - 1
         cols, vmat = strict_ell_from_csr(indptr, indices, vals, n, dtype)
         dv = (np.asarray(diag_vals, np.float64)
               if diag_vals is not None else np.ones(n))
+        bell = None
+        if (jax.devices()[0].platform == "tpu"
+                and jnp.dtype(dtype) == jnp.float32 and n % 128 == 0):
+            cand = BandedELL.from_csr(CSRMatrix(
+                (n, n), jnp.asarray(np.asarray(indptr)),
+                jnp.asarray(np.asarray(indices)),
+                jnp.asarray(np.asarray(vals, np.float32))))
+            if ell_spmv_supported(cand, jnp.float32):
+                bell = cand
         return cls(n=n, sweeps=sweeps, cols=cols, vals=vmat,
-                   diag=jnp.asarray(dv, dtype))
+                   diag=jnp.asarray(dv, dtype), bell=bell)
 
     def solve(self, b: jax.Array) -> jax.Array:
+        if self.bell is not None:
+            from mpbp_tpu.ops.pallas_ell import ell_spmv_pallas
+
+            return neumann_sweeps_with(ell_spmv_pallas(self.bell),
+                                       self.diag, b, self.sweeps)
         return neumann_trisolve(self.cols, self.vals, self.diag, b,
                                 self.sweeps)
+
+
+def neumann_sweeps_with(strict_mv: Callable, diag: jax.Array, b: jax.Array,
+                        sweeps: int) -> jax.Array:
+    """The Neumann/Jacobi sweep recurrence x_{k+1} = D^-1 (b - S x_k) with
+    the strictly-triangular SpMV supplied as a callable (the banded-ELL
+    Pallas kernel on TPU; any parity-equivalent matvec in tests)."""
+    inv_d = 1.0 / diag
+
+    def body(_, x):
+        return inv_d * (b - strict_mv(x))
+
+    return jax.lax.fori_loop(0, sweeps, body, inv_d * b)

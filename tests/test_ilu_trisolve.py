@@ -179,3 +179,48 @@ def test_lsc_ilut_neumann_apply_outer_convergence():
                            maxiter=150, ilut_apply="neumann", ilut_sweeps=24)
     assert rep.converged, (rep.iters, rep.relres)
     assert rep.iters <= 100, rep.iters
+
+
+def test_neumann_sweeps_pallas_ell_parity():
+    """The banded-ELL Pallas sweep path (NeumannTriSolve.bell, TPU-only at
+    construction) computes the same recurrence as the gather-form sweeps —
+    interpret-mode kernel vs neumann_trisolve on an ILUT U factor."""
+    import jax.numpy as jnp
+    import numpy as np
+
+    from mpbp_tpu import native
+    from mpbp_tpu.models.multiphase import make_multiphase_operator
+    from mpbp_tpu.ops.pallas_ell import BandedELL, ell_spmv_pallas
+    from mpbp_tpu.ops.sparse import CSRMatrix
+    from mpbp_tpu.ops.trisolve import (NeumannTriSolve, neumann_sweeps_with,
+                                       neumann_trisolve)
+    from mpbp_tpu.solvers.preconditioners import lsc_products
+
+    op = make_multiphase_operator(16, eta_n=100.0)
+    GtG, _ = lsc_products(op)
+    ct = GtG.to_csr(drop_tol=1e-14)
+    ip, ix, vv = ct.host_arrays()
+    (_, _, _), (Up, Ui, Uv) = native.ilut(ip, ix, vv, fill=20, tau=1e-3)
+    n = len(Up) - 1
+    # strict upper + diagonal split (mirrors ILUPreconditioner._from_factors)
+    Up, Ui, Uv = np.asarray(Up), np.asarray(Ui), np.asarray(Uv)
+    diag = Uv[Up[:-1]]
+    keep = np.ones(len(Ui), bool)
+    keep[Up[:-1]] = False
+    newptr = np.zeros(n + 1, np.int64)
+    newptr[1:] = np.cumsum(np.diff(Up) - 1)
+    plan = NeumannTriSolve.from_csr(newptr, Ui[keep], Uv[keep], sweeps=12,
+                                    diag_vals=diag, dtype=jnp.float32)
+    assert plan.bell is None     # CPU platform: pallas path gated off
+
+    bell = BandedELL.from_csr(CSRMatrix(
+        (n, n), jnp.asarray(newptr), jnp.asarray(Ui[keep]),
+        jnp.asarray(Uv[keep].astype(np.float32))))
+    rng = np.random.default_rng(5)
+    b = jnp.asarray(rng.normal(size=n).astype(np.float32))
+    want = np.asarray(neumann_trisolve(plan.cols, plan.vals, plan.diag,
+                                       b, 12))
+    got = np.asarray(neumann_sweeps_with(
+        ell_spmv_pallas(bell, interpret=True), plan.diag, b, 12))
+    np.testing.assert_allclose(got, want, rtol=2e-5,
+                               atol=2e-5 * np.abs(want).max())
