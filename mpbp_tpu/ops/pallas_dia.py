@@ -233,9 +233,14 @@ def dia_spmv_pallas_streamed(A: DIAMatrix, block_rows: int = 64,
         t0 = pl.program_id(0) * TR
         copies = []
         for k in range(K):
+            # start is 8-aligned by construction (TR % 8 == 0 or single
+            # block, r8s 8-aligned); the multiple_of hint is required once
+            # the array spans >1 lane tile — Mosaic's divisibility prover
+            # rejects unhinted dynamic starts there (observed on chip for
+            # the fused stencil kernels, r3)
             copies.append(pltpu.make_async_copy(
-                x2_hbm.at[pl.ds(t0 + r8s[k], WIN), :], xwin.at[k],
-                sems.at[k]))
+                x2_hbm.at[pl.ds(pl.multiple_of(t0 + r8s[k], 8), WIN), :],
+                xwin.at[k], sems.at[k]))
         for c in copies:
             c.start()
         col_ids = jax.lax.broadcasted_iota(jnp.int32, (TR, _LANES), 1)

@@ -248,7 +248,8 @@ def ell_spmm_pallas(A: BandedELL, k: int,
         for o, wb in zip(offsets, widths):
             row0 = (q + o // _LANES) * _LANES
             cp = pltpu.make_async_copy(
-                x2_hbm.at[pl.ds(row0, _SLAB), :], slab_vmem, sem)
+                x2_hbm.at[pl.ds(pl.multiple_of(row0, 8), _SLAB), :],
+                slab_vmem, sem)
             cp.start()
             P = jnp.zeros((_LANES, _SLAB), dtype)
             for j in range(w0, w0 + wb):
