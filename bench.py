@@ -66,18 +66,21 @@ def main():
 
     # production matvec: single hand-fused Pallas kernel recomputing all
     # theta-derived coefficients in registers (numerically identical to the
-    # stencil apply — tests/test_fused.py). Preference order: pipelined
-    # double-buffered in-kernel-halo kernel (true 13-plane traffic, DMA
-    # overlapped with compute), single-buffered in-kernel-halo, row-extension
-    # kernel (r1/r2 variant, +1 state copy per apply), XLA roll fallback.
+    # stencil apply — tests/test_fused.py). Preference order (r3 on-chip
+    # head-to-head, KERNELS_r03.json): single-buffered in-kernel-halo
+    # (810 Gnnz/s, ~92% HBM roofline — the compute is dense enough that
+    # Pallas' pipelined out-blockspec already hides the DMA latency), then
+    # the cross-grid double-buffered variant (731 — its slot indexing costs
+    # more than the overlap buys), then row-extension (+1 state copy per
+    # apply), then the XLA roll fallback (217).
     v = jnp.ones((5, n, n), dtype)
     mv = None
     for maker, name in [
-            (lambda: make_fused_apply_pallas(op, halo="pipelined"),
-             "pallas fused (pipelined halo)"),
             (lambda: make_fused_apply_pallas(op, block_rows=64,
                                              halo="inkernel"),
              "pallas fused (in-kernel halo)"),
+            (lambda: make_fused_apply_pallas(op, halo="pipelined"),
+             "pallas fused (pipelined halo)"),
             (lambda: make_fused_apply_pallas(op, block_rows=64,
                                              halo="extend"),
              "pallas fused (row-extend)"),

@@ -220,16 +220,18 @@ def make_f_apply_planes(Tn, Wnx, Wny, params: dict, dx: float,
 
 def make_fused_apply_pallas(op: MultiphaseOperator, interpret: bool = False,
                             block_rows: int | None = None,
-                            halo: str = "pipelined") -> Callable:
+                            halo: str = "inkernel") -> Callable:
     """The same matvec as a single hand-fused Pallas TPU kernel
     (ops/pallas_stencil.py): one HBM pass over 8 input + 5 output planes.
 
-    halo='pipelined' (default) double-buffers the in-kernel halo DMAs across
-    grid steps so block i+1's HBM reads overlap block i's compute;
-    halo='inkernel' is the single-buffered variant (start -> wait ->
-    compute per block); halo='extend' keeps the original XLA row-extension
-    pre-pass (a full extra state copy per matvec — the r1/r2 kernel,
-    retained as the fallback)."""
+    halo='inkernel' (default) issues the periodic wrap rows as predicated
+    in-kernel DMAs — 810 Gnnz/s / ~92% HBM roofline measured on a v5e at
+    n=512 (KERNELS_r03.json); halo='pipelined' additionally double-buffers
+    those DMAs across grid steps (block i+1's reads overlap block i's
+    compute) but measures SLOWER (731) — the dynamic slot indexing costs
+    more than the overlap buys on this compute-dense kernel; halo='extend'
+    keeps the original XLA row-extension pre-pass (a full extra state copy
+    per matvec — the r1/r2 kernel, retained as the fallback)."""
     from mpbp_tpu.ops.pallas_stencil import (
         multiphase_pallas_apply, multiphase_pallas_apply_inkernel_halo,
         multiphase_pallas_apply_pipelined)
@@ -240,5 +242,6 @@ def make_fused_apply_pallas(op: MultiphaseOperator, interpret: bool = False,
     if halo == "inkernel":
         return multiphase_pallas_apply_inkernel_halo(
             op, interpret=interpret, block_rows=block_rows or 64)
+    assert halo == "extend", halo
     return multiphase_pallas_apply(op, interpret=interpret,
                                    block_rows=block_rows or 64)
