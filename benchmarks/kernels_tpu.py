@@ -46,6 +46,9 @@ def main(argv=None):
     ap.add_argument("--n-dia", type=int, default=512)
     ap.add_argument("--n-stream", type=int, default=1024)
     ap.add_argument("--n-ell", type=int, default=256)
+    ap.add_argument("--sections", default=None,
+                    help="comma-separated subset of section names to run "
+                         "(default: all)")
     args = ap.parse_args(argv)
 
     import jax
@@ -72,6 +75,12 @@ def main(argv=None):
     dev = jax.devices()[0]
     log(f"kernels_tpu: device={dev}")
     results = []
+    # operator assembly + format conversion are SETUP, not the measured
+    # path: run them on the local CPU backend so a slow/wedged remote-compile
+    # relay cannot stall the build (jit moves the arrays to the chip at the
+    # first timed call). Measured r3: the n=1024 build took 25+ min through
+    # a congested relay vs ~2 min on host.
+    cpu0 = jax.devices("cpu")[0]
 
     from mpbp_tpu.utils.hoist import hoist_closure
 
@@ -133,10 +142,12 @@ def main(argv=None):
     def sect_dia_resident():
         n = args.n_dia
         log(f"building multiphase A, n={n} ...")
-        op = make_multiphase_operator(n, c=1.0, d=-1.0, xi=1.0, eta_n=100.0,
-                                      eta_s=1.0, dtype=jnp.float32)
-        csr = op.A.to_csr()
-        dia = DIAMatrix.from_csr(csr, periodic=True)
+        with jax.default_device(cpu0):
+            op = make_multiphase_operator(n, c=1.0, d=-1.0, xi=1.0,
+                                          eta_n=100.0, eta_s=1.0,
+                                          dtype=jnp.float32)
+            csr = op.A.to_csr()
+            dia = DIAMatrix.from_csr(csr, periodic=True)
         N, nnz, K = csr.shape[0], csr.nnz, len(dia.offsets)
         assert dia_spmv_supported(dia), (N, K)
         x = jnp.asarray(rng.normal(size=N).astype(np.float32))
@@ -150,11 +161,12 @@ def main(argv=None):
     def sect_dia_streamed():
         ns = args.n_stream
         log(f"building multiphase A, n={ns} ...")
-        ops_ = make_multiphase_operator(ns, c=1.0, d=-1.0, xi=1.0,
-                                        eta_n=100.0, eta_s=1.0,
-                                        dtype=jnp.float32)
-        csr_s = ops_.A.to_csr()
-        dia_s = DIAMatrix.from_csr(csr_s, periodic=True)
+        with jax.default_device(cpu0):
+            ops_ = make_multiphase_operator(ns, c=1.0, d=-1.0, xi=1.0,
+                                            eta_n=100.0, eta_s=1.0,
+                                            dtype=jnp.float32)
+            csr_s = ops_.A.to_csr()
+            dia_s = DIAMatrix.from_csr(csr_s, periodic=True)
         Ns, nnz_s = csr_s.shape[0], csr_s.nnz
         assert dia_spmv_streamed_supported(dia_s), (Ns, len(dia_s.offsets))
         xs = jnp.asarray(rng.normal(size=Ns).astype(np.float32))
@@ -167,10 +179,12 @@ def main(argv=None):
                {"K": len(dia_s.offsets)})
 
     def _gtg_csr(n, dtype=jnp.float64):
-        op_ = make_multiphase_operator(n, c=1.0, d=-1.0, xi=1.0,
-                                       eta_n=100.0, eta_s=1.0, dtype=dtype)
-        GtG, _ = lsc_products(op_)
-        return GtG.to_csr(drop_tol=1e-14)
+        with jax.default_device(cpu0):
+            op_ = make_multiphase_operator(n, c=1.0, d=-1.0, xi=1.0,
+                                           eta_n=100.0, eta_s=1.0,
+                                           dtype=dtype)
+            GtG, _ = lsc_products(op_)
+            return GtG.to_csr(drop_tol=1e-14)
 
     def sect_ell():
         from mpbp_tpu import native
@@ -273,8 +287,10 @@ def main(argv=None):
                                            make_fused_apply_pallas)
 
         n = args.n_dia
-        op = make_multiphase_operator(n, c=1.0, d=-1.0, xi=1.0, eta_n=100.0,
-                                      eta_s=1.0, dtype=jnp.float32)
+        with jax.default_device(cpu0):
+            op = make_multiphase_operator(n, c=1.0, d=-1.0, xi=1.0,
+                                          eta_n=100.0, eta_s=1.0,
+                                          dtype=jnp.float32)
         nnz = sum(len(m) for m in op.A.terms.values()) * n * n
         v = jnp.asarray(rng.normal(size=(5, n, n)).astype(np.float32))
         ref = jit_h(make_fused_apply(op), v)(v)
@@ -305,7 +321,10 @@ def main(argv=None):
                 ("onehot_spmm", sect_spmm),
                 ("trisolve_128", lambda: sect_trisolve(128)),
                 ("trisolve_256", lambda: sect_trisolve(256))]
+    selected = (set(args.sections.split(",")) if args.sections else None)
     for name, fn in sections:
+        if selected is not None and name not in selected:
+            continue
         try:
             fn()
         except Exception as e:  # pragma: no cover - hardware-dependent

@@ -83,16 +83,23 @@ def main(argv=None):
     log(f"solve_tpu: device={jax.devices()[0]}, n={n}, pc={args.pc}")
 
     t0 = time.time()
-    op32 = make_multiphase_operator(n, c=1.0, d=-1.0, xi=1.0,
-                                    eta_n=args.eta_n, eta_s=args.eta_s,
-                                    dtype=jnp.float32)
-    op64 = make_multiphase_operator(n, c=1.0, d=-1.0, xi=1.0,
-                                    eta_n=args.eta_n, eta_s=args.eta_s,
-                                    dtype=jnp.float64)
-    prob = mms.variable_thn_problem(1.0, -1.0, 1.0, args.eta_n, args.eta_s)
-    u_exact, b = mms.fill_sol_and_rhs(op64.grid, prob)
-    b64 = pack_fields(op64, b)
-    u64 = pack_fields(op64, u_exact)
+    # assembly/MMS/PC setup run on the local CPU backend: setup through a
+    # congested remote-compile relay measured 25+ min at n>=1024 (r3); the
+    # timed solve path moves arrays to the chip via hoisted jit arguments
+    cpu0 = jax.devices("cpu")[0]
+    setup_on_host = jax.default_device(cpu0)
+    with setup_on_host:
+        op32 = make_multiphase_operator(n, c=1.0, d=-1.0, xi=1.0,
+                                        eta_n=args.eta_n, eta_s=args.eta_s,
+                                        dtype=jnp.float32)
+        op64 = make_multiphase_operator(n, c=1.0, d=-1.0, xi=1.0,
+                                        eta_n=args.eta_n, eta_s=args.eta_s,
+                                        dtype=jnp.float64)
+        prob = mms.variable_thn_problem(1.0, -1.0, 1.0, args.eta_n,
+                                        args.eta_s)
+        u_exact, b = mms.fill_sol_and_rhs(op64.grid, prob)
+        b64 = pack_fields(op64, b)
+        u64 = pack_fields(op64, u_exact)
     t_setup = time.time() - t0
     log(f"assembly+MMS: {t_setup:.2f}s")
 
@@ -101,8 +108,9 @@ def main(argv=None):
     if args.mode in ("f64", "hybrid"):
         t0 = time.time()
         if args.mode == "f64":
-            M = make_preconditioner(op64, args.pc, dtype=jnp.float64,
-                                    inner_tol=1e-4, inner_iters=40)
+            with setup_on_host:
+                M = make_preconditioner(op64, args.pc, dtype=jnp.float64,
+                                        inner_tol=1e-4, inner_iters=40)
         else:
             # f64 LSC formula glue around f32 inner solves: measured on
             # chip, the all-f32 glue (a bare cast around make_preconditioner)
@@ -110,8 +118,10 @@ def main(argv=None):
             # D/G/GtFG products caps the PC quality. The mixed assembly keeps
             # those products in f64 (cheap: they are O(nnz) stencil applies)
             # while all inner MG/Krylov work stays f32.
-            M = make_preconditioner_mixed(op64, op32, args.pc,
-                                          inner_tol=1e-4, inner_iters=40)
+            with setup_on_host:
+                M = make_preconditioner_mixed(op64, op32, args.pc,
+                                              inner_tol=1e-4,
+                                              inner_iters=40)
         t_pc = time.time() - t0
         log(f"preconditioner setup: {t_pc:.2f}s")
 
@@ -138,8 +148,9 @@ def main(argv=None):
         x = res.x
     else:
         t0 = time.time()
-        M32 = make_preconditioner(op32, args.pc, dtype=jnp.float32,
-                                  inner_tol=1e-4, inner_iters=40)
+        with setup_on_host:
+            M32 = make_preconditioner(op32, args.pc, dtype=jnp.float32,
+                                      inner_tol=1e-4, inner_iters=40)
         # hot matvec: hand-fused Pallas kernel when it compiles on this
         # toolchain (judge r2 item #1: the hero kernel in the solve loop);
         # XLA fused-roll apply otherwise (a_matvec default)
