@@ -85,6 +85,8 @@ def main(argv=None):
         import jax.numpy as jnp
 
         dtype = jnp.float64 if sol.dtype == "float64" else jnp.float32
+        if sol.precision != "full":
+            jax.config.update("jax_enable_x64", True)
         with Timer() as t_all:
             rep = solve_multiphase(
                 n=prob.n, c=prob.c, d=prob.d, xi=prob.xi, eta_n=prob.eta_n,
@@ -92,7 +94,7 @@ def main(argv=None):
                 tol=sol.tol, maxiter=sol.maxiter, dtype=dtype,
                 ilut_fill=sol.ilut_fill, ilut_tau=sol.ilut_tau,
                 ilut_refine=sol.ilut_refine, inner_tol=sol.inner_tol,
-                inner_iters=sol.inner_iters,
+                inner_iters=sol.inner_iters, precision=sol.precision,
                 true_res_monitor=args.true_res_monitor)
         nnz = 11 * 5 * prob.n * prob.n  # stencil-tap estimate
         m = collect_solve_metrics(rep, nnz, 0.0, t_all.elapsed)

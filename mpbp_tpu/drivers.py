@@ -250,11 +250,37 @@ def make_preconditioner_mixed(op64: MultiphaseOperator,
     return pcs.make_lsc_pc_mixed(op64, f_inner32, p_inner32)
 
 
+def _mixed_precision_solve(op64, op32, b_vec, pc: str, tol: float,
+                           maxiter: int, precision: str, pc_kwargs: dict):
+    """The 'ir'/'hybrid' solve bodies behind solve_multiphase(precision=...),
+    returning a KrylovResult (see benchmarks/solve_tpu.py for the on-chip
+    characterization of both modes)."""
+    from mpbp_tpu.solvers.mixed import block_scales, fgmres_ir
+
+    if precision == "hybrid":
+        M = make_preconditioner_mixed(op64, op32, pc, **pc_kwargs)
+        return krylov.fgmres(a_matvec(op64), b_vec, tol=tol,
+                             maxiter=maxiter, M=M)
+
+    M32 = make_preconditioner(op32, pc, dtype=jnp.float32, **pc_kwargs)
+    res = fgmres_ir(a_matvec(op64), a_matvec(op32), b_vec, tol=tol,
+                    max_outer=max(maxiter // 25, 4),
+                    inner_tol=1e-6, inner_maxiter=min(maxiter, 150),
+                    M32=M32, scale=block_scales(op64))
+    hist = jnp.asarray(np.concatenate(
+        [np.asarray(res.history), [np.nan]]))
+    return krylov.KrylovResult(
+        x=res.x, iters=jnp.asarray(res.total_inner_iters),
+        relres=jnp.asarray(res.relres), res_history=hist,
+        converged=jnp.asarray(res.converged))
+
+
 def solve_multiphase(n: int = 16, c: float = 1.0, d: float = -1.0,
                      xi: float = 1.0, eta_n: float = 1.0, eta_s: float = 1.0,
                      pc: str = "lsc_ilut", tol: float = 1e-8,
                      maxiter: int = 150, problem: str = "variable",
                      dtype=jnp.float64, true_res_monitor: bool = False,
+                     precision: str = "full",
                      **pc_kwargs) -> SolveReport:
     """End-to-end MMS solve, mirroring reference solve.py main +
     solve_with_* (defaults n=16, c=1, d=-1, xi=1, reference solve.py:290-297).
@@ -264,7 +290,16 @@ def solve_multiphase(n: int = 16, c: float = 1.0, d: float = -1.0,
     solve.py:161-170) by stepping fgmres_resumable one iteration at a time;
     the per-iteration values land in params['true_res_history']. Costs one
     extra matvec + solution assembly per iteration — diagnostic mode, off by
-    default (the default verifies the true residual once at the end)."""
+    default (the default verifies the true residual once at the end).
+
+    `precision` selects the TPU mixed-precision strategy (the production
+    paths benchmarked by benchmarks/solve_tpu.py, lsc_* PCs only):
+      'full'   — everything at `dtype` (the reference execution model);
+      'ir'     — f32 inner FGMRES cycles + f64 residual refinement
+                 (solvers/mixed.fgmres_ir with block equilibration);
+      'hybrid' — one f64 FGMRES whose LSC PC runs its inner solves in f32
+                 with an f64 refinement pass each (make_preconditioner_mixed).
+    """
     from mpbp_tpu.models.fields import constant_thn
 
     thn_fn_kwargs = {}
@@ -274,16 +309,27 @@ def solve_multiphase(n: int = 16, c: float = 1.0, d: float = -1.0,
     else:
         prob = mms.variable_thn_problem(c, d, xi, eta_n, eta_s)
 
+    if precision not in ("full", "ir", "hybrid"):
+        raise ValueError(f"unknown precision {precision!r}")
+    if precision != "full":
+        dtype = jnp.float64           # the certified outer dtype
+
     op = make_multiphase_operator(n, c=c, d=d, xi=xi, eta_n=eta_n,
                                   eta_s=eta_s, dtype=dtype, **thn_fn_kwargs)
     u_exact, b = mms.fill_sol_and_rhs(op.grid, prob)
     b_vec = pack_fields(op, b)
     u_vec = pack_fields(op, u_exact)
 
-    M = make_preconditioner(op, pc, dtype=dtype, **pc_kwargs)
     mv_hot = a_matvec(op)
     true_hist = None
-    if true_res_monitor:
+    if precision != "full":
+        op32 = make_multiphase_operator(n, c=c, d=d, xi=xi, eta_n=eta_n,
+                                        eta_s=eta_s, dtype=jnp.float32,
+                                        **thn_fn_kwargs)
+        result = _mixed_precision_solve(op, op32, b_vec, pc, tol, maxiter,
+                                        precision, pc_kwargs)
+    elif true_res_monitor:
+        M = make_preconditioner(op, pc, dtype=dtype, **pc_kwargs)
         bnorm = float(jnp.linalg.norm(b_vec))
         x0 = jnp.zeros_like(b_vec)
         state, result, true_hist = None, None, []
@@ -296,6 +342,7 @@ def solve_multiphase(n: int = 16, c: float = 1.0, d: float = -1.0,
             if bool(result.converged) or int(result.iters) >= maxiter:
                 break
     else:
+        M = make_preconditioner(op, pc, dtype=dtype, **pc_kwargs)
         result = krylov.fgmres(mv_hot, b_vec, tol=tol, maxiter=maxiter, M=M)
 
     err = norms_report(result.x, u_vec, op.grid.dx, op.grid.dy)

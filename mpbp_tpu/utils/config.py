@@ -39,6 +39,7 @@ class SolverConfig:
     inner_tol: float = 1e-4
     inner_iters: int = 60
     dtype: str = "float64"
+    precision: str = "full"        # full | ir | hybrid (drivers.solve_multiphase)
 
 
 @dataclasses.dataclass

@@ -124,3 +124,23 @@ def test_hybrid_mixed_pc_matches_f64_pc_iterations():
     # each mixed inner effectively two solves, so it is often STRONGER
     # (measured 14 vs 22 iters at n=32)
     assert int(r_mix.iters) <= int(r_f64.iters) + 2
+
+
+def test_solve_multiphase_precision_modes():
+    """drivers.solve_multiphase(precision='ir'|'hybrid') — the TPU
+    production paths — converge the n=16 reference configuration to 1e-8
+    with the same discretization error as the full-f64 solve."""
+    import jax.numpy as jnp
+
+    from mpbp_tpu.drivers import solve_multiphase
+
+    full = solve_multiphase(n=16, eta_n=100.0, pc="lsc_mg_full", tol=1e-8,
+                            maxiter=100, inner_tol=1e-4, inner_iters=40)
+    for prec in ("ir", "hybrid"):
+        rep = solve_multiphase(n=16, eta_n=100.0, pc="lsc_mg_full",
+                               tol=1e-8, maxiter=100, precision=prec,
+                               inner_tol=1e-4, inner_iters=40)
+        assert rep.converged and rep.relres < 1e-7, (prec, rep.relres)
+        # solutions at relres 1e-8 agree to ~kappa * 1e-8 ~ 1e-4 relative
+        assert abs(rep.error_norms["l2"] - full.error_norms["l2"]) \
+            < 1e-4 * full.error_norms["l2"], prec
