@@ -1,10 +1,11 @@
 #!/bin/bash
-# Waits for the TPU remote-compile relay to recover, then runs the full
-# on-chip artifact suite sequentially. Each step under its own timeout so a
-# re-wedged relay cannot absorb the whole budget. Probe results and step
-# logs go to /tmp/tpu_suite/.
+# Runs the full on-chip artifact suite sequentially, gating EVERY step on a
+# relay-health probe (the axon remote-compile relay wedges for tens of
+# minutes at a time — measured r3; a wedged relay absorbs whole step
+# timeouts otherwise). Each step under its own timeout. Logs to
+# /tmp/tpu_suite/.
 set -u
-OUT=/tmp/tpu_suite
+OUT=${TPU_SUITE_OUT:-/tmp/tpu_suite}
 mkdir -p $OUT
 cd /root/repo
 
@@ -15,23 +16,25 @@ print(float(jax.jit(lambda a: (a@a).sum())(jnp.ones((256,256)))))
 " >/dev/null 2>&1
 }
 
-echo "$(date +%T) waiting for TPU relay..." >> $OUT/status.log
-until probe; do
-  echo "$(date +%T) relay still wedged" >> $OUT/status.log
-  sleep 180
-done
-echo "$(date +%T) RELAY UP — running suite" >> $OUT/status.log
+wait_relay() {
+  until probe; do
+    echo "$(date +%T) relay wedged" >> $OUT/status.log
+    sleep 120
+  done
+  echo "$(date +%T) relay up" >> $OUT/status.log
+}
 
 run_step() {
   name=$1; tmo=$2; shift 2
+  wait_relay
   echo "$(date +%T) step $name start" >> $OUT/status.log
   timeout "$tmo" "$@" > $OUT/$name.out 2> $OUT/$name.err
   echo "$(date +%T) step $name rc=$?" >> $OUT/status.log
 }
 
-run_step bench        900 python bench.py
-run_step kernels     2400 python benchmarks/kernels_tpu.py --out $OUT/KERNELS_r03.json
-run_step solve_ir    1800 python benchmarks/solve_tpu.py --n 512 --mode ir
-run_step solve_hyb   2400 python benchmarks/solve_tpu.py --n 512 --mode hybrid
-run_step solve_2048  2400 python benchmarks/solve_tpu.py --n 2048 --mode ir --tol 1e-6 --max-outer 3
+run_step bench        1200 python bench.py
+run_step kernels      3000 python benchmarks/kernels_tpu.py --out $OUT/KERNELS.json
+run_step solve_ir     1800 python benchmarks/solve_tpu.py --n 512 --mode ir
+run_step solve_hyb    2400 python benchmarks/solve_tpu.py --n 512 --mode hybrid
+run_step solve_2048   3000 python benchmarks/solve_tpu.py --n 2048 --mode ir --tol 1e-6 --max-outer 3
 echo "$(date +%T) suite done" >> $OUT/status.log
