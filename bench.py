@@ -127,14 +127,16 @@ def main():
     run(10)
     run(10)  # warm both compile paths
     # Methodology (judge r2): >=5 independent marginal samples — each sample
-    # is (t(400 applies) - t(100 applies)) / 300 with fresh timings — report
+    # is (t(2000 applies) - t(500 applies)) / 1500 with fresh timings — report
     # best AND median, record the MEDIAN (robust to relay/host jitter, which
-    # r2 measured at 35% on this link).
+    # r2 measured at 35% on this link; the 1500-apply marginal window ~33 ms
+    # keeps that jitter to a few percent of the window, vs ~30% at the r2
+    # 300-apply window).
     samples = []
     for _ in range(5):
-        t_lo = min(run(100) for _ in range(2))
-        t_hi = min(run(400) for _ in range(2))
-        samples.append((t_hi - t_lo) / 300.0)
+        t_lo = min(run(500) for _ in range(2))
+        t_hi = min(run(2000) for _ in range(2))
+        samples.append((t_hi - t_lo) / 1500.0)
     dt_best, dt = min(samples), float(np.median(samples))
     nnz_s = nnz / dt
     log(f"marginal device apply: median {dt*1e6:.1f} us "

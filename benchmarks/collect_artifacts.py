@@ -1,0 +1,86 @@
+"""Collect on-chip suite outputs (/tmp/tpu_suite by default) into committed
+round artifacts at the repo root:
+
+  * KERNELS_r03.json — per-kernel microbench lines from kernels_tpu.py
+  * SOLVE_r03.json   — time_to_solve_multiphase lines from solve_tpu.py runs
+  * BENCH_sample.json — the bench.py line (the driver records the canonical
+    BENCH_r{N}.json itself; this keeps a builder-side sample with stderr
+    methodology context)
+
+Idempotent: re-running refreshes whatever steps have finished; missing or
+failed steps are skipped with a note. Usage:
+    python benchmarks/collect_artifacts.py [--suite-dir /tmp/tpu_suite]
+"""
+
+import argparse
+import json
+import os
+import sys
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def json_lines(path):
+    """Every parseable one-object-per-line JSON dict in a step's stdout."""
+    out = []
+    if not os.path.exists(path):
+        return out
+    with open(path) as f:
+        for line in f:
+            line = line.strip()
+            if not (line.startswith("{") and line.endswith("}")):
+                continue
+            try:
+                obj = json.loads(line)
+            except json.JSONDecodeError:
+                continue
+            if isinstance(obj, dict):
+                out.append(obj)
+    return out
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--suite-dir", default="/tmp/tpu_suite")
+    args = ap.parse_args()
+    d = args.suite_dir
+
+    # kernels: kernels_tpu.py --out writes the full list; fall back to stdout
+    kernels = []
+    kfile = os.path.join(d, "KERNELS.json")
+    if os.path.exists(kfile):
+        with open(kfile) as f:
+            kernels = json.load(f)
+    else:
+        kernels = [r for r in json_lines(os.path.join(d, "kernels.out"))
+                   if "kernel" in r]
+    if kernels:
+        with open(os.path.join(REPO, "KERNELS_r03.json"), "w") as f:
+            json.dump(kernels, f, indent=1)
+        print(f"KERNELS_r03.json: {len(kernels)} kernel records")
+    else:
+        print("kernels: no records yet", file=sys.stderr)
+
+    solves = []
+    for step in ("solve_ir", "solve_hyb", "solve_2048"):
+        recs = [r for r in json_lines(os.path.join(d, step + ".out"))
+                if r.get("metric") == "time_to_solve_multiphase"]
+        solves.extend(recs)
+        if not recs:
+            print(f"{step}: no record yet", file=sys.stderr)
+    if solves:
+        with open(os.path.join(REPO, "SOLVE_r03.json"), "w") as f:
+            for r in solves:
+                f.write(json.dumps(r) + "\n")
+        print(f"SOLVE_r03.json: {len(solves)} solve records")
+
+    bench = [r for r in json_lines(os.path.join(d, "bench.out"))
+             if r.get("metric") == "spmv_nnz_per_s_512sq_multiphase"]
+    if bench:
+        with open(os.path.join(REPO, "BENCH_sample.json"), "w") as f:
+            json.dump(bench[-1], f)
+        print(f"BENCH_sample.json: {bench[-1]['value']} {bench[-1]['unit']}")
+
+
+if __name__ == "__main__":
+    main()
