@@ -42,6 +42,9 @@ from jax.experimental.pallas import tpu as pltpu
 from mpbp_tpu.ops.dia import DIAMatrix
 
 _LANES = 128
+# i32 wrapper for static ref indices: under jax_enable_x64 a bare Python
+# int traces as i64 and Mosaic rejects the memref_slice (see pallas_stencil)
+_I = np.int32
 _VMEM_BYTES = 100 * 2 ** 20  # interpret-mode/CPU has no real limit; TPU
 #                              sizing is checked by dia_spmv_supported()
 
@@ -240,7 +243,7 @@ def dia_spmv_pallas_streamed(A: DIAMatrix, block_rows: int = 64,
             # the fused stencil kernels, r3)
             copies.append(pltpu.make_async_copy(
                 x2_hbm.at[pl.ds(pl.multiple_of(t0 + r8s[k], 8), WIN), :],
-                xwin.at[k], sems.at[k]))
+                xwin.at[_I(k)], sems.at[_I(k)]))
         for c in copies:
             c.start()
         col_ids = jax.lax.broadcasted_iota(jnp.int32, (TR, _LANES), 1)
@@ -248,7 +251,7 @@ def dia_spmv_pallas_streamed(A: DIAMatrix, block_rows: int = 64,
         for k in range(K):
             copies[k].wait()
             rem, c = rems[k], cs[k]
-            win = xwin[k, rem:rem + TR + 1, :]           # (TR+1, 128)
+            win = xwin[_I(k), rem:rem + TR + 1, :]       # (TR+1, 128)
             if c == 0:
                 y = win[:TR, :]
             else:

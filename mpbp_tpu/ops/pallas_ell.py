@@ -167,23 +167,28 @@ def ell_spmv_pallas(A: BandedELL, interpret: bool = False) -> Callable:
     val3 = jnp.moveaxis(A.vals.reshape(R, _LANES, W), 2, 0)
 
     def kernel(x2_ref, idx_ref, val_ref, out_ref):
-        t0 = pl.program_id(0) * TR
-        lane = jax.lax.broadcasted_iota(jnp.int32, (TR, _LANES), 1)
-        acc = jnp.zeros((TR, _LANES), dtype)
-        w0 = 0
-        for o, wb in zip(offsets, widths):
-            q0 = t0 + (o // _LANES)
-            slabA = x2_ref[pl.ds(q0, TR), :]          # row t <- x2[q0 + t]
-            slabB = x2_ref[pl.ds(q0 + 1, TR), :]
-            for j in range(w0, w0 + wb):
-                s = lane + idx_ref[j, :, :]           # slab position [0,256)
-                gA = jnp.take_along_axis(
-                    slabA, jnp.minimum(s, _LANES - 1), axis=1)
-                gB = jnp.take_along_axis(
-                    slabB, jnp.maximum(s - _LANES, 0), axis=1)
-                acc = acc + val_ref[j, :, :] * jnp.where(s < _LANES, gA, gB)
-            w0 += wb
-        out_ref[:, :] = acc
+        # i32-only contract: under jax_enable_x64 take_along_axis builds
+        # i64 internal iotas, which Mosaic rejects ("64-bit types are not
+        # supported" — reproduced via jax.export for the tpu platform)
+        with jax.enable_x64(False):
+            t0 = pl.program_id(0) * TR
+            lane = jax.lax.broadcasted_iota(jnp.int32, (TR, _LANES), 1)
+            acc = jnp.zeros((TR, _LANES), dtype)
+            w0 = 0
+            for o, wb in zip(offsets, widths):
+                q0 = t0 + (o // _LANES)
+                slabA = x2_ref[pl.ds(q0, TR), :]      # row t <- x2[q0 + t]
+                slabB = x2_ref[pl.ds(q0 + 1, TR), :]
+                for j in range(w0, w0 + wb):
+                    s = lane + idx_ref[j, :, :]       # slab position [0,256)
+                    gA = jnp.take_along_axis(
+                        slabA, jnp.minimum(s, _LANES - 1), axis=1)
+                    gB = jnp.take_along_axis(
+                        slabB, jnp.maximum(s - _LANES, 0), axis=1)
+                    acc = acc + val_ref[j, :, :] * jnp.where(s < _LANES,
+                                                             gA, gB)
+                w0 += wb
+            out_ref[:, :] = acc
 
     call = pl.pallas_call(
         kernel,
@@ -240,6 +245,11 @@ def ell_spmm_pallas(A: BandedELL, k: int,
     val3 = jnp.swapaxes(A.vals.reshape(R, _LANES, W), 1, 2)
 
     def kernel(x2_hbm, idx_ref, val_ref, out_ref, slab_vmem, sem):
+        # i32-only contract under x64 hosts — see ell_spmv_pallas.kernel
+        with jax.enable_x64(False):
+            _spmm_body(x2_hbm, idx_ref, val_ref, out_ref, slab_vmem, sem)
+
+    def _spmm_body(x2_hbm, idx_ref, val_ref, out_ref, slab_vmem, sem):
         q = pl.program_id(0)
         l_iota = jax.lax.broadcasted_iota(jnp.int32, (_LANES, _SLAB), 0)
         s_iota = jax.lax.broadcasted_iota(jnp.int32, (_LANES, _SLAB), 1)

@@ -38,6 +38,12 @@ from mpbp_tpu.models.multiphase import MultiphaseOperator
 
 _H = 8  # sublane-tile halo (see module docstring)
 
+# Static integer indices into refs must be materialized as i32: under
+# jax_enable_x64 a bare Python int traces as i64 and Mosaic rejects the
+# memref_slice ('operand #1 must be ... 32-bit signless integer, but got
+# i64' — reproduced via jax.export for the tpu platform).
+_I = np.int32
+
 
 def _ds8(start, size):
     """pl.ds with an 8-divisibility hint on the (dynamic) start: every row
@@ -91,11 +97,11 @@ def build_fused_tile_call(n_loc: int, n: int, dtype, params: dict,
         r0 = i * TR
 
         copies = [pltpu.make_async_copy(
-            tn_hbm.at[_ds8(r0, TR + 2 * H), :], tn_tile, sems.at[0])]
+            tn_hbm.at[_ds8(r0, TR + 2 * H), :], tn_tile, sems.at[_I(0)])]
         for f in range(5):
             copies.append(pltpu.make_async_copy(
-                state_hbm.at[f, _ds8(r0, TR + 2 * H), :],
-                st_tile.at[f], sems.at[1 + f]))
+                state_hbm.at[_I(f), _ds8(r0, TR + 2 * H), :],
+                st_tile.at[_I(f)], sems.at[_I(1 + f)]))
         for c in copies:
             c.start()
         for c in copies:
@@ -217,44 +223,44 @@ def multiphase_pallas_apply_pipelined(op: MultiphaseOperator,
             r0 = blk * TR
             pltpu.make_async_copy(
                 tn_hbm.at[_ds8(r0, TR + 2 * H), :], tn_tile.at[slot],
-                sems.at[slot, 0]).start()
+                sems.at[slot, _I(0)]).start()
             for f in range(5):
                 pltpu.make_async_copy(
-                    x_hbm.at[f, _ds8(r0, TR), :],
-                    st_tile.at[slot, f, pl.ds(H, TR), :],
-                    sems.at[slot, 1 + f]).start()
+                    x_hbm.at[_I(f), _ds8(r0, TR), :],
+                    st_tile.at[slot, _I(f), pl.ds(H, TR), :],
+                    sems.at[slot, _I(1 + f)]).start()
 
             @pl.when(blk == 0)
             def _():
                 for f in range(5):
                     pltpu.make_async_copy(
-                        x_hbm.at[f, pl.ds(n - H, H), :],
-                        st_tile.at[slot, f, pl.ds(0, H), :],
-                        sems.at[slot, 6 + f]).start()
+                        x_hbm.at[_I(f), pl.ds(n - H, H), :],
+                        st_tile.at[slot, _I(f), pl.ds(0, H), :],
+                        sems.at[slot, _I(6 + f)]).start()
 
             @pl.when(blk > 0)
             def _():
                 for f in range(5):
                     pltpu.make_async_copy(
-                        x_hbm.at[f, _ds8(r0 - H, H), :],
-                        st_tile.at[slot, f, pl.ds(0, H), :],
-                        sems.at[slot, 6 + f]).start()
+                        x_hbm.at[_I(f), _ds8(r0 - H, H), :],
+                        st_tile.at[slot, _I(f), pl.ds(0, H), :],
+                        sems.at[slot, _I(6 + f)]).start()
 
             @pl.when(blk == last)
             def _():
                 for f in range(5):
                     pltpu.make_async_copy(
-                        x_hbm.at[f, pl.ds(0, H), :],
-                        st_tile.at[slot, f, pl.ds(H + TR, H), :],
-                        sems.at[slot, 11 + f]).start()
+                        x_hbm.at[_I(f), pl.ds(0, H), :],
+                        st_tile.at[slot, _I(f), pl.ds(H + TR, H), :],
+                        sems.at[slot, _I(11 + f)]).start()
 
             @pl.when(blk < last)
             def _():
                 for f in range(5):
                     pltpu.make_async_copy(
-                        x_hbm.at[f, _ds8(r0 + TR, H), :],
-                        st_tile.at[slot, f, pl.ds(H + TR, H), :],
-                        sems.at[slot, 11 + f]).start()
+                        x_hbm.at[_I(f), _ds8(r0 + TR, H), :],
+                        st_tile.at[slot, _I(f), pl.ds(H + TR, H), :],
+                        sems.at[slot, _I(11 + f)]).start()
 
         cur = jax.lax.rem(i, jnp.int32(2))
         nxt = jax.lax.rem(i + jnp.int32(1), jnp.int32(2))
@@ -271,18 +277,18 @@ def multiphase_pallas_apply_pipelined(op: MultiphaseOperator,
         # shape-matched dummies against the same semaphores
         pltpu.make_async_copy(
             tn_hbm.at[pl.ds(0, TR + 2 * H), :], tn_tile.at[cur],
-            sems.at[cur, 0]).wait()
+            sems.at[cur, _I(0)]).wait()
         for f in range(5):
             pltpu.make_async_copy(
-                x_hbm.at[f, pl.ds(0, TR), :],
-                st_tile.at[cur, f, pl.ds(H, TR), :], sems.at[cur, 1 + f]).wait()
+                x_hbm.at[_I(f), pl.ds(0, TR), :],
+                st_tile.at[cur, _I(f), pl.ds(H, TR), :], sems.at[cur, _I(1 + f)]).wait()
             pltpu.make_async_copy(
-                x_hbm.at[f, pl.ds(0, H), :],
-                st_tile.at[cur, f, pl.ds(0, H), :], sems.at[cur, 6 + f]).wait()
+                x_hbm.at[_I(f), pl.ds(0, H), :],
+                st_tile.at[cur, _I(f), pl.ds(0, H), :], sems.at[cur, _I(6 + f)]).wait()
             pltpu.make_async_copy(
-                x_hbm.at[f, pl.ds(0, H), :],
-                st_tile.at[cur, f, pl.ds(H + TR, H), :],
-                sems.at[cur, 11 + f]).wait()
+                x_hbm.at[_I(f), pl.ds(0, H), :],
+                st_tile.at[cur, _I(f), pl.ds(H + TR, H), :],
+                sems.at[cur, _I(11 + f)]).wait()
 
         out = multiphase_apply_math(
             sh, tn_tile[cur], wnx_ref[:, :], wny_ref[:, :],
@@ -363,13 +369,13 @@ def multiphase_pallas_apply_inkernel_halo(op: MultiphaseOperator,
         r0 = i * TR
 
         tn_cp = pltpu.make_async_copy(
-            tn_hbm.at[_ds8(r0, TR + 2 * H), :], tn_tile, sems.at[0])
+            tn_hbm.at[_ds8(r0, TR + 2 * H), :], tn_tile, sems.at[_I(0)])
         tn_cp.start()
 
         # interior rows [r0, r0+TR) -> tile rows [H, H+TR)
         mids = [pltpu.make_async_copy(
-            x_hbm.at[f, _ds8(r0, TR), :], st_tile.at[f, pl.ds(H, TR), :],
-            sems.at[1 + f]) for f in range(5)]
+            x_hbm.at[_I(f), _ds8(r0, TR), :], st_tile.at[_I(f), pl.ds(H, TR), :],
+            sems.at[_I(1 + f)]) for f in range(5)]
         for c in mids:
             c.start()
 
@@ -377,8 +383,8 @@ def multiphase_pallas_apply_inkernel_halo(op: MultiphaseOperator,
         @pl.when(i == 0)
         def _():
             cps = [pltpu.make_async_copy(
-                x_hbm.at[f, pl.ds(n - H, H), :],
-                st_tile.at[f, pl.ds(0, H), :], sems.at[6 + f])
+                x_hbm.at[_I(f), pl.ds(n - H, H), :],
+                st_tile.at[_I(f), pl.ds(0, H), :], sems.at[_I(6 + f)])
                 for f in range(5)]
             for c in cps:
                 c.start()
@@ -386,8 +392,8 @@ def multiphase_pallas_apply_inkernel_halo(op: MultiphaseOperator,
         @pl.when(i > 0)
         def _():
             cps = [pltpu.make_async_copy(
-                x_hbm.at[f, _ds8(r0 - H, H), :],
-                st_tile.at[f, pl.ds(0, H), :], sems.at[6 + f])
+                x_hbm.at[_I(f), _ds8(r0 - H, H), :],
+                st_tile.at[_I(f), pl.ds(0, H), :], sems.at[_I(6 + f)])
                 for f in range(5)]
             for c in cps:
                 c.start()
@@ -396,8 +402,8 @@ def multiphase_pallas_apply_inkernel_halo(op: MultiphaseOperator,
         @pl.when(i == last)
         def _():
             cps = [pltpu.make_async_copy(
-                x_hbm.at[f, pl.ds(0, H), :],
-                st_tile.at[f, pl.ds(H + TR, H), :], sems.at[11 + f])
+                x_hbm.at[_I(f), pl.ds(0, H), :],
+                st_tile.at[_I(f), pl.ds(H + TR, H), :], sems.at[_I(11 + f)])
                 for f in range(5)]
             for c in cps:
                 c.start()
@@ -405,8 +411,8 @@ def multiphase_pallas_apply_inkernel_halo(op: MultiphaseOperator,
         @pl.when(i < last)
         def _():
             cps = [pltpu.make_async_copy(
-                x_hbm.at[f, _ds8(r0 + TR, H), :],
-                st_tile.at[f, pl.ds(H + TR, H), :], sems.at[11 + f])
+                x_hbm.at[_I(f), _ds8(r0 + TR, H), :],
+                st_tile.at[_I(f), pl.ds(H + TR, H), :], sems.at[_I(11 + f)])
                 for f in range(5)]
             for c in cps:
                 c.start()
@@ -417,11 +423,11 @@ def multiphase_pallas_apply_inkernel_halo(op: MultiphaseOperator,
         # halo copy waits: same (f-indexed) semaphores regardless of branch
         for f in range(5):
             pltpu.make_async_copy(
-                x_hbm.at[f, pl.ds(0, H), :],
-                st_tile.at[f, pl.ds(0, H), :], sems.at[6 + f]).wait()
+                x_hbm.at[_I(f), pl.ds(0, H), :],
+                st_tile.at[_I(f), pl.ds(0, H), :], sems.at[_I(6 + f)]).wait()
             pltpu.make_async_copy(
-                x_hbm.at[f, pl.ds(0, H), :],
-                st_tile.at[f, pl.ds(H + TR, H), :], sems.at[11 + f]).wait()
+                x_hbm.at[_I(f), pl.ds(0, H), :],
+                st_tile.at[_I(f), pl.ds(H + TR, H), :], sems.at[_I(11 + f)]).wait()
 
         out = multiphase_apply_math(
             sh, tn_tile[:, :], wnx_ref[:, :], wny_ref[:, :],
