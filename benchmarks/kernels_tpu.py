@@ -146,9 +146,8 @@ def main(argv=None):
             op = make_multiphase_operator(n, c=1.0, d=-1.0, xi=1.0,
                                           eta_n=100.0, eta_s=1.0,
                                           dtype=jnp.float32)
-            csr = op.A.to_csr()
-            dia = DIAMatrix.from_csr(csr, periodic=True)
-        N, nnz, K = csr.shape[0], csr.nnz, len(dia.offsets)
+            dia = op.A.to_dia()      # direct export: no 55M-entry COO sort
+        N, nnz, K = dia.shape[0], dia.nnz, len(dia.offsets)
         assert dia_spmv_supported(dia), (N, K)
         x = jnp.asarray(rng.normal(size=N).astype(np.float32))
         mv = dia_spmv_pallas(dia)
@@ -165,9 +164,8 @@ def main(argv=None):
             ops_ = make_multiphase_operator(ns, c=1.0, d=-1.0, xi=1.0,
                                             eta_n=100.0, eta_s=1.0,
                                             dtype=jnp.float32)
-            csr_s = ops_.A.to_csr()
-            dia_s = DIAMatrix.from_csr(csr_s, periodic=True)
-        Ns, nnz_s = csr_s.shape[0], csr_s.nnz
+            dia_s = ops_.A.to_dia()  # direct export: no 55M-entry COO sort
+        Ns, nnz_s = dia_s.shape[0], dia_s.nnz
         assert dia_spmv_streamed_supported(dia_s), (Ns, len(dia_s.offsets))
         xs = jnp.asarray(rng.normal(size=Ns).astype(np.float32))
         mv_s = dia_spmv_pallas_streamed(dia_s)

@@ -268,6 +268,59 @@ class StencilOperator:
             rows, cols, vals = rows[keep], cols[keep], vals[keep]
         return CSRMatrix.from_coo(nrows, ncols, rows, cols, vals)
 
+    def to_dia(self, dtype=None):
+        """Direct periodic-DIA export — no CSR intermediate.
+
+        Equivalent to `DIAMatrix.from_csr(self.to_csr(), periodic=True)`
+        (tests/test_stencil.py parity check) but skips the 55M-entry COO
+        sort, which dominates large-grid setup (measured r3 at 1024^2:
+        to_csr 51 s + from_csr 6 s vs ~10 s total here). Requires a square
+        operator (offsets are (col - row) mod N).
+
+        Pass 1 computes each stencil term's flat-diagonal offsets — a term
+        (dr, dc) maps to at most 4 distinct offsets mod N, one per periodic
+        wrap region — pass 2 scatter-adds coefficient planes into the
+        (K, N) diagonal data array.
+        """
+        from mpbp_tpu.ops.dia import DIAMatrix
+
+        nr, nc = self.shape_grid
+        npts = nr * nc
+        nrows = len(self.out_fields) * npts
+        ncols = len(self.in_fields) * npts
+        assert nrows == ncols, "DIA export requires a square operator"
+        in_base = {f: i * npts for i, f in enumerate(self.in_fields)}
+        rr, cc = np.meshgrid(np.arange(nr), np.arange(nc), indexing="ij")
+
+        def term_arrays(oi, inf, dr, dc):
+            row_ids = (oi * npts + rr * nc + cc).ravel()
+            col_ids = (
+                in_base[inf]
+                + ((rr + dr) % nr) * nc
+                + ((cc + dc) % nc)
+            ).ravel()
+            return row_ids, (col_ids - row_ids) % nrows
+
+        terms_flat = [
+            (oi, inf, dr, dc, coef)
+            for oi, of in enumerate(self.out_fields)
+            for inf in self.in_fields
+            for (dr, dc), coef in (self.terms.get((of, inf)) or {}).items()
+        ]
+        uniq = np.unique(np.concatenate([
+            np.unique(term_arrays(oi, inf, dr, dc)[1])
+            for oi, inf, dr, dc, _ in terms_flat]))
+        if dtype is None:
+            dtype = np.asarray(next(iter(
+                next(iter(self.terms.values())).values()))).dtype
+        data = np.zeros((len(uniq), nrows), dtype=dtype)
+        for oi, inf, dr, dc, coef in terms_flat:
+            rows_, offs = term_arrays(oi, inf, dr, dc)
+            np.add.at(data, (np.searchsorted(uniq, offs), rows_),
+                      np.asarray(coef).ravel())
+        return DIAMatrix((nrows, ncols), tuple(int(o) for o in uniq),
+                         jnp.asarray(data))
+
     def to_dense(self) -> np.ndarray:
         """Dense export (tests/small grids only)."""
         return self.to_csr().to_dense()

@@ -262,13 +262,19 @@ def _arnoldi_solution(state: ArnoldiState, x0, m: int, M, use_z: bool,
 
 @partial(jax.jit, static_argnames=("matvec", "M", "maxiter", "use_z",
                                    "orthog"))
+@partial(jax.jit, static_argnames=("matvec", "M", "maxiter", "use_z",
+                                   "orthog"))
 def _fgmres_cycle(matvec, b, x0, tol, maxiter: int, M, use_z: bool,
                   orthog: str = "cgs2", mv_consts=(), M_consts=()):
     """One FGMRES cycle. `b`/`x0` may be ANY array shape (1-D flat vectors or
     stacked grid fields (5, n, n) for the sharded path); the Krylov basis adds
     a leading axis. matvec/M are hoisted forms fn(v, *consts) — see _hoist —
     with their closure arrays arriving through mv_consts/M_consts as dynamic
-    arguments (plain closures also work: consts default to ())."""
+    arguments. The jit here is what makes the hoist effective: un-jitted,
+    the while_loop body would close over the consts as concrete arrays and
+    re-bake them into the computation as HLO literals — the compile payload
+    then scales with operator size and the remote-compile relay rejects the
+    2048^2 inner solve with HTTP 413 (observed on chip, r3)."""
     mv = lambda v: matvec(v, *mv_consts)        # noqa: E731
     Mp = lambda v: M(v, *M_consts)              # noqa: E731
     m = maxiter

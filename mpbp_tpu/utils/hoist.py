@@ -8,6 +8,14 @@ on chip: a 512^2 solve compiles (~180 MB of constants), the 2048^2 solve and
 the 1024^2 streamed-DIA SpMV chain are rejected with HTTP 413 (>500 MB).
 `hoist_closure` lifts those arrays into explicit call arguments — device
 buffers that never enter the compile payload.
+
+Implementation note: jax.closure_convert is NOT the right tool here — in
+current JAX it partitions jaxpr consts by `_maybe_perturbed` and only hoists
+consts that are (potentially perturbed) tracers, i.e. it exists for AD
+correctness, and for a concrete closed-over operator it hoists NOTHING
+(measured: consts == [] for the fused-apply matvec; the 2048^2 compile
+payload still carried every plane). We trace the jaxpr ourselves and lift
+`jaxpr.consts` wholesale.
 """
 
 from __future__ import annotations
@@ -15,6 +23,7 @@ from __future__ import annotations
 from typing import Callable
 
 import jax
+from jax import tree_util
 
 _CACHE: dict = {}
 _CACHE_MAX = 32
@@ -22,10 +31,12 @@ _CACHE_MAX = 32
 
 def hoist_closure(fn: Callable | None, example) -> tuple[Callable, list]:
     """(fn, example input) -> (fn2, consts) with fn(v) == fn2(v, *consts)
-    and consts the arrays fn closes over (jax.closure_convert). Cached by
-    (fn, shape, dtype) so repeated calls with the same operator hit the jit
-    cache; conversions whose consts contain tracers (caller already under an
-    ambient jit) are never cached."""
+    and consts EVERY array constant in fn's jaxpr (closed-over operator
+    planes, MG hierarchies, ILU factors, ...). Passing consts through a jit
+    boundary as dynamic arguments keeps them out of the lowered module.
+    Cached by (fn, shape, dtype) so repeated calls with the same operator
+    hit the jit cache; conversions whose consts contain tracers (caller
+    already under an ambient jit) are never cached."""
     if fn is None:
         fn = _identity
     spec = jax.ShapeDtypeStruct(example.shape, example.dtype)
@@ -36,7 +47,16 @@ def hoist_closure(fn: Callable | None, example) -> tuple[Callable, list]:
         key, hit = None, None
     if hit is not None:
         return hit
-    conv, consts = jax.closure_convert(fn, spec)
+    closed, out_shape = jax.make_jaxpr(fn, return_shape=True)(spec)
+    out_tree = tree_util.tree_structure(out_shape)
+    jaxpr, consts = closed.jaxpr, list(closed.consts)
+    n_consts = len(consts)
+
+    def conv(v, *consts_):
+        assert len(consts_) == n_consts, (len(consts_), n_consts)
+        out = jax.core.eval_jaxpr(jaxpr, list(consts_), v)
+        return tree_util.tree_unflatten(out_tree, out)
+
     if key is not None and not any(isinstance(c, jax.core.Tracer)
                                    for c in consts):
         if len(_CACHE) >= _CACHE_MAX:

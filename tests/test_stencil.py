@@ -113,3 +113,24 @@ def test_pytree_roundtrip(ops):
     for k in got:
         np.testing.assert_allclose(np.asarray(got[k]), np.asarray(ref[k]),
                                    rtol=1e-12)
+
+
+def test_to_dia_matches_csr_route():
+    """Direct DIA export == DIAMatrix.from_csr(to_csr(), periodic=True)."""
+    import numpy as np
+    from mpbp_tpu.models.multiphase import make_multiphase_operator
+    from mpbp_tpu.ops.dia import DIAMatrix
+
+    op = make_multiphase_operator(8, c=1.0, d=-1.0, xi=1.0,
+                                  eta_n=100.0, eta_s=1.0, dtype=jnp.float32)
+    ref = DIAMatrix.from_csr(op.A.to_csr(), periodic=True)
+    got = op.A.to_dia()
+    assert got.offsets == ref.offsets
+    np.testing.assert_array_equal(np.asarray(got.data), np.asarray(ref.data))
+    # matvec agreement on a random vector
+    rng = np.random.default_rng(3)
+    x = jnp.asarray(rng.normal(size=ref.shape[0]).astype(np.float32))
+    np.testing.assert_allclose(np.asarray(got.matvec(x)),
+                               np.asarray(op.A.apply_packed(x)
+                                          if hasattr(op.A, "apply_packed")
+                                          else ref.matvec(x)), rtol=1e-5)
