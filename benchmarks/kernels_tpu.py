@@ -132,6 +132,11 @@ def main(argv=None):
         results.append(r)
         print(json.dumps(r), flush=True)
 
+    def record_failure(kernel, why):
+        r = {"kernel": kernel, "failed": why[:300]}
+        results.append(r)
+        print(json.dumps(r), flush=True)
+
     def parity_check(got, want):
         got, want = np.asarray(got), np.asarray(want)
         return float(np.max(np.abs(got - want))
@@ -194,20 +199,29 @@ def main(argv=None):
         # adapt the ILUT fill downward until the factor's band width fits
         # the kernel's VMEM gate (fill=100 at n=256 lands at W=129, one
         # band-slot over — measured on chip)
-        for fill in (100, 64, 40, 24):
+        # adapt fill AND tau downward: W counts band-slot widths, and an
+        # ILUT with tau=1e-3 keeps enough scattered bands that fill alone
+        # cannot get under the VMEM gate (measured r3: fill=24 still lands
+        # at W=125 at n=256)
+        for fill, tau in ((100, 1e-3), (64, 1e-3), (40, 1e-3), (24, 1e-3),
+                          (16, 3e-3), (12, 1e-2), (8, 3e-2)):
             (Lp, Li, Lv), (Up, Ui, Uv) = native.ilut(ip, ix, vv,
-                                                     fill=fill, tau=1e-3)
+                                                     fill=fill, tau=tau)
             u_csr = CSRMatrix(gtg_csr.shape, jnp.asarray(np.asarray(Up)),
                               jnp.asarray(np.asarray(Ui)),
                               jnp.asarray(np.asarray(Uv, np.float32)))
             ell = BandedELL.from_csr(u_csr)
             if ell_spmv_supported(ell, jnp.float32):
                 break
-            log(f"  ILUT fill={fill}: W={ell.total_width} over the VMEM "
-                "gate, retrying with less fill")
+            log(f"  ILUT fill={fill} tau={tau}: W={ell.total_width} over "
+                "the VMEM gate, retrying with less fill")
         Ne = u_csr.shape[0]
         nnz_e = int(np.count_nonzero(np.asarray(Uv)))
-        assert ell_spmv_supported(ell, jnp.float32), (Ne, ell.total_width)
+        if not ell_spmv_supported(ell, jnp.float32):
+            record_failure("banded_ell_spmv",
+                           f"no ILUT fill fits the VMEM gate "
+                           f"(last W={ell.total_width}, N={Ne})")
+            return
         xe = jnp.asarray(rng.normal(size=Ne).astype(np.float32))
         mv_e = ell_spmv_pallas(ell)
         ref_e = jit_h(ell.matvec, xe)(xe)
