@@ -64,17 +64,18 @@ def main():
     nnz = sum(len(offmap) for offmap in op.A.terms.values()) * n * n
     log(f"assembly: {time.time()-t0:.2f}s, nnz={nnz/1e6:.2f}M")
 
-    # production matvec: single hand-fused Pallas kernel recomputing all
+    # production matvec: single hand-fused apply recomputing all
     # theta-derived coefficients in registers (numerically identical to the
-    # stencil apply — tests/test_fused.py). Preference order (r3 on-chip
-    # head-to-head, KERNELS_r03.json): single-buffered in-kernel-halo
-    # (810 Gnnz/s, ~92% HBM roofline — the compute is dense enough that
-    # Pallas' pipelined out-blockspec already hides the DMA latency), then
-    # the cross-grid double-buffered variant (731 — its slot indexing costs
-    # more than the overlap buys), then row-extension (+1 state copy per
-    # apply), then the XLA roll fallback (217).
+    # stencil apply — tests/test_fused.py). The winner among the halo
+    # strategies is TOOLCHAIN-DEPENDENT: r3 measured in-kernel-halo Pallas
+    # at 807 Gnnz/s vs 223 for the XLA roll apply; the r4 toolchain inverts
+    # that (649 XLA vs 463 in-kernel). So the hero kernel is picked
+    # EMPIRICALLY here: every candidate that compiles gets a short marginal
+    # timing race and the fastest runs the full methodology below.
     v = jnp.ones((5, n, n), dtype)
-    mv = None
+    scale0 = 1.0 / np.float32(8.0 * float(op.params["eta_n"])
+                              / op.grid.dx**2)
+    candidates = []
     for maker, name in [
             (lambda: make_fused_apply_pallas(op, block_rows=64,
                                              halo="inkernel"),
@@ -86,15 +87,42 @@ def main():
              "pallas fused (row-extend)"),
             (lambda: make_fused_apply(op), "xla roll fused")]:
         try:
-            cand = jax.jit(maker())
+            raw = maker()
+            cand = jax.jit(raw)
             t0 = time.time()
             float(jnp.sum(cand(v)))
             log(f"{name}: compile+first {time.time()-t0:.2f}s")
-            mv = cand
-            break
+            candidates.append((raw, cand, name))
         except Exception as e:  # pragma: no cover - toolchain-dependent
             log(f"{name} failed ({type(e).__name__}: {str(e)[:120]})")
-    assert mv is not None
+    assert candidates
+
+    def race_time(raw):
+        """Quick marginal per-apply time (short window — selection only)."""
+        @jax.jit
+        def ch(v, k):
+            def body(_, x):
+                return raw(x) * scale0
+            return jax.lax.fori_loop(0, k, body, v)
+
+        def r(k):
+            t0 = time.time()
+            float(jnp.sum(ch(v, k)))
+            return time.time() - t0
+
+        r(5)
+        r(5)
+        return min((r(400) - r(100)) / 300.0 for _ in range(3))
+
+    if len(candidates) > 1:
+        timed_c = [(race_time(raw), raw, cand, name)
+                   for raw, cand, name in candidates]
+        for t, _, _, name in timed_c:
+            log(f"  race: {name}: {t*1e6:.1f} us/apply")
+        _, raw_mv, mv, name = min(timed_c, key=lambda x: x[0])
+    else:
+        raw_mv, mv, name = candidates[0]
+    log(f"hero kernel: {name}")
 
     # on-chip parity guard: the timed kernel must match the XLA fused apply
     # (never benchmark a silently-wrong kernel)
@@ -106,17 +134,16 @@ def main():
     log(f"parity vs XLA fused apply: {perr:.2e}")
     if not perr < 1e-4:
         log("*** parity FAILED — falling back to the XLA roll path ***")
-        mv = jax.jit(make_fused_apply(op))
+        raw_mv = make_fused_apply(op)
+        mv = jax.jit(raw_mv)
 
     # steady-state: chain applies on device; renormalize each step so the
     # chained values stay finite (the extra 5-plane scale pass is included
     # in — i.e. slightly inflates — the reported per-apply time).
-    scale = 1.0 / np.float32(8.0 * float(op.params["eta_n"]) / op.grid.dx**2)
-
     @jax.jit
     def chain(v, k):
         def body(_, x):
-            return mv(x) * scale
+            return raw_mv(x) * scale0
         return jax.lax.fori_loop(0, k, body, v)
 
     def run(k):

@@ -42,22 +42,29 @@ def json_lines(path):
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--suite-dir", default="/tmp/tpu_suite")
+    ap.add_argument("--round", type=int, default=4,
+                    help="round number used in the artifact filenames")
     args = ap.parse_args()
     d = args.suite_dir
+    tag = f"r{args.round:02d}"
 
-    # kernels: kernels_tpu.py --out writes the full list; fall back to stdout
+    # kernels: kernels_tpu.py --out writes {"device":..., "results":[...]};
+    # unwrap it (advisor r3: the verbatim dump made the artifact a dict and
+    # the 'N records' count reported the number of dict keys). Older suite
+    # files that already hold a bare list pass through unchanged.
     kernels = []
     kfile = os.path.join(d, "KERNELS.json")
     if os.path.exists(kfile):
         with open(kfile) as f:
-            kernels = json.load(f)
+            data = json.load(f)
+        kernels = data.get("results", []) if isinstance(data, dict) else data
     else:
         kernels = [r for r in json_lines(os.path.join(d, "kernels.out"))
                    if "kernel" in r]
     if kernels:
-        with open(os.path.join(REPO, "KERNELS_r03.json"), "w") as f:
+        with open(os.path.join(REPO, f"KERNELS_{tag}.json"), "w") as f:
             json.dump(kernels, f, indent=1)
-        print(f"KERNELS_r03.json: {len(kernels)} kernel records")
+        print(f"KERNELS_{tag}.json: {len(kernels)} kernel records")
     else:
         print("kernels: no records yet", file=sys.stderr)
 
@@ -69,10 +76,10 @@ def main():
         if not recs:
             print(f"{step}: no record yet", file=sys.stderr)
     if solves:
-        with open(os.path.join(REPO, "SOLVE_r03.json"), "w") as f:
+        with open(os.path.join(REPO, f"SOLVE_{tag}.json"), "w") as f:
             for r in solves:
                 f.write(json.dumps(r) + "\n")
-        print(f"SOLVE_r03.json: {len(solves)} solve records")
+        print(f"SOLVE_{tag}.json: {len(solves)} solve records")
 
     bench = [r for r in json_lines(os.path.join(d, "bench.out"))
              if r.get("metric") == "spmv_nnz_per_s_512sq_multiphase"]

@@ -328,12 +328,16 @@ def multiphase_pallas_apply_pipelined(op: MultiphaseOperator,
     return mv
 
 
-def multiphase_pallas_apply_inkernel_halo(op: MultiphaseOperator,
-                                          interpret: bool = False,
-                                          block_rows: int = 64) -> Callable:
-    """The fused apply with IN-KERNEL state halos — removes the XLA
-    row-extension pre-pass of multiphase_pallas_apply, which copies the
-    whole 5-plane state (~+40% HBM traffic on the hot matvec).
+def build_inkernel_halo_call(n: int, dtype, nf: int, math: Callable,
+                             interpret: bool = False,
+                             block_rows: int = 64) -> Callable:
+    """Generalized single-buffered in-kernel-halo fused stencil kernel.
+
+    `math(sh, tn_tile, wnx_tile, wny_tile, state_tiles)` computes `nf`
+    interior-shaped output planes from the (TR+2H, n) halo tiles of theta
+    and the `nf` state planes (state_tiles is a length-nf list). Returns
+    `call(tn_ext, wnx, wny, state) -> (nf, n, n)` where tn_ext is the
+    (n+2H, n) row-extended theta plane and state is (nf, n, n).
 
     The halo rows wrap periodically, and Mosaic rejects modular DMA source
     indices — but no modular arithmetic is needed: each program's top halo
@@ -344,22 +348,15 @@ def multiphase_pallas_apply_inkernel_halo(op: MultiphaseOperator,
     non-negative dynamic. Theta stays row-extended (built once at setup —
     zero per-matvec cost).
 
-    Traffic: 8 plane-reads + 5 plane-writes + O(H/n) halo rows — the true
-    13-plane minimum of models/fused.py's docstring.
+    Traffic: (3 + nf) plane-reads + nf plane-writes + O(H/n) halo rows —
+    the true minimum of models/fused.py's docstring.
     """
-    n = op.grid.n
     TR = min(block_rows, n)
     while n % TR:
         TR //= 2
     n_blocks = n // TR
-    dtype = op.phase_n.cell.dtype
-    params = {k: float(v) for k, v in op.params.items() if k != "n"}
-    dx, dy = op.grid.dx, op.grid.dy
     H = _H
     assert TR >= H and TR % H == 0, (TR, H)
-
-    Tn_ext = _extend_rows(op.phase_n.cell, H)       # static, built once
-    Wnx, Wny = op.phase_n.xface_pt, op.phase_n.yface_pt
     sh = _tile_shift(TR)
     last = n_blocks - 1
 
@@ -375,7 +372,7 @@ def multiphase_pallas_apply_inkernel_halo(op: MultiphaseOperator,
         # interior rows [r0, r0+TR) -> tile rows [H, H+TR)
         mids = [pltpu.make_async_copy(
             x_hbm.at[_I(f), _ds8(r0, TR), :], st_tile.at[_I(f), pl.ds(H, TR), :],
-            sems.at[_I(1 + f)]) for f in range(5)]
+            sems.at[_I(1 + f)]) for f in range(nf)]
         for c in mids:
             c.start()
 
@@ -384,8 +381,8 @@ def multiphase_pallas_apply_inkernel_halo(op: MultiphaseOperator,
         def _():
             cps = [pltpu.make_async_copy(
                 x_hbm.at[_I(f), pl.ds(n - H, H), :],
-                st_tile.at[_I(f), pl.ds(0, H), :], sems.at[_I(6 + f)])
-                for f in range(5)]
+                st_tile.at[_I(f), pl.ds(0, H), :], sems.at[_I(1 + nf + f)])
+                for f in range(nf)]
             for c in cps:
                 c.start()
 
@@ -393,8 +390,8 @@ def multiphase_pallas_apply_inkernel_halo(op: MultiphaseOperator,
         def _():
             cps = [pltpu.make_async_copy(
                 x_hbm.at[_I(f), _ds8(r0 - H, H), :],
-                st_tile.at[_I(f), pl.ds(0, H), :], sems.at[_I(6 + f)])
-                for f in range(5)]
+                st_tile.at[_I(f), pl.ds(0, H), :], sems.at[_I(1 + nf + f)])
+                for f in range(nf)]
             for c in cps:
                 c.start()
 
@@ -403,8 +400,9 @@ def multiphase_pallas_apply_inkernel_halo(op: MultiphaseOperator,
         def _():
             cps = [pltpu.make_async_copy(
                 x_hbm.at[_I(f), pl.ds(0, H), :],
-                st_tile.at[_I(f), pl.ds(H + TR, H), :], sems.at[_I(11 + f)])
-                for f in range(5)]
+                st_tile.at[_I(f), pl.ds(H + TR, H), :],
+                sems.at[_I(1 + 2 * nf + f)])
+                for f in range(nf)]
             for c in cps:
                 c.start()
 
@@ -412,8 +410,9 @@ def multiphase_pallas_apply_inkernel_halo(op: MultiphaseOperator,
         def _():
             cps = [pltpu.make_async_copy(
                 x_hbm.at[_I(f), _ds8(r0 + TR, H), :],
-                st_tile.at[_I(f), pl.ds(H + TR, H), :], sems.at[_I(11 + f)])
-                for f in range(5)]
+                st_tile.at[_I(f), pl.ds(H + TR, H), :],
+                sems.at[_I(1 + 2 * nf + f)])
+                for f in range(nf)]
             for c in cps:
                 c.start()
 
@@ -421,22 +420,22 @@ def multiphase_pallas_apply_inkernel_halo(op: MultiphaseOperator,
         for c in mids:
             c.wait()
         # halo copy waits: same (f-indexed) semaphores regardless of branch
-        for f in range(5):
+        for f in range(nf):
             pltpu.make_async_copy(
                 x_hbm.at[_I(f), pl.ds(0, H), :],
-                st_tile.at[_I(f), pl.ds(0, H), :], sems.at[_I(6 + f)]).wait()
+                st_tile.at[_I(f), pl.ds(0, H), :],
+                sems.at[_I(1 + nf + f)]).wait()
             pltpu.make_async_copy(
                 x_hbm.at[_I(f), pl.ds(0, H), :],
-                st_tile.at[_I(f), pl.ds(H + TR, H), :], sems.at[_I(11 + f)]).wait()
+                st_tile.at[_I(f), pl.ds(H + TR, H), :],
+                sems.at[_I(1 + 2 * nf + f)]).wait()
 
-        out = multiphase_apply_math(
-            sh, tn_tile[:, :], wnx_ref[:, :], wny_ref[:, :],
-            st_tile[0], st_tile[1], st_tile[2], st_tile[3], st_tile[4],
-            params, dx, dy)
-        for f in range(5):
+        out = math(sh, tn_tile[:, :], wnx_ref[:, :], wny_ref[:, :],
+                   [st_tile[f] for f in range(nf)])
+        for f in range(nf):
             out_ref[f, :, :] = out[f]
 
-    call = pl.pallas_call(
+    return pl.pallas_call(
         kernel,
         grid=(n_blocks,),
         in_specs=[
@@ -445,23 +444,91 @@ def multiphase_pallas_apply_inkernel_halo(op: MultiphaseOperator,
                          memory_space=pltpu.VMEM),   # Wnx
             pl.BlockSpec((TR, n), lambda i: (i, 0),
                          memory_space=pltpu.VMEM),   # Wny
-            pl.BlockSpec(memory_space=pl.ANY),       # state (5, n, n)
+            pl.BlockSpec(memory_space=pl.ANY),       # state (nf, n, n)
         ],
-        out_specs=pl.BlockSpec((5, TR, n), lambda i: (0, i, 0),
+        out_specs=pl.BlockSpec((nf, TR, n), lambda i: (0, i, 0),
                                memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((5, n, n), dtype),
+        out_shape=jax.ShapeDtypeStruct((nf, n, n), dtype),
         scratch_shapes=[
             pltpu.VMEM((TR + 2 * H, n), dtype),
-            pltpu.VMEM((5, TR + 2 * H, n), dtype),
-            pltpu.SemaphoreType.DMA((16,)),
+            pltpu.VMEM((nf, TR + 2 * H, n), dtype),
+            pltpu.SemaphoreType.DMA((3 * nf + 1,)),
         ],
         interpret=interpret,
         cost_estimate=pl.CostEstimate(
-            flops=120 * n * n, transcendentals=0,
-            bytes_accessed=13 * n * n * np.dtype(np.float32).itemsize),
+            flops=24 * nf * n * n, transcendentals=0,
+            bytes_accessed=(2 * nf + 3) * n * n
+            * np.dtype(np.float32).itemsize),
     )
+
+
+def multiphase_pallas_apply_inkernel_halo(op: MultiphaseOperator,
+                                          interpret: bool = False,
+                                          block_rows: int = 64) -> Callable:
+    """The fused A-apply with IN-KERNEL state halos — removes the XLA
+    row-extension pre-pass of multiphase_pallas_apply, which copies the
+    whole 5-plane state (~+40% HBM traffic on the hot matvec). See
+    build_inkernel_halo_call for the DMA scheme."""
+    n = op.grid.n
+    dtype = op.phase_n.cell.dtype
+    params = {k: float(v) for k, v in op.params.items() if k != "n"}
+    dx, dy = op.grid.dx, op.grid.dy
+
+    Tn_ext = _extend_rows(op.phase_n.cell, _H)      # static, built once
+    Wnx, Wny = op.phase_n.xface_pt, op.phase_n.yface_pt
+
+    def math(sh, tn, wnx, wny, st):
+        return multiphase_apply_math(sh, tn, wnx, wny, st[0], st[1], st[2],
+                                     st[3], st[4], params, dx, dy)
+
+    call = build_inkernel_halo_call(n, dtype, 5, math, interpret=interpret,
+                                    block_rows=block_rows)
 
     def mv(vec):
         return call(Tn_ext, Wnx, Wny, vec)
 
     return mv
+
+
+def velocity_pallas_apply_planes(Tn, Wnx, Wny, params: dict, dx: float,
+                                 dy: float, interpret: bool = False,
+                                 block_rows: int = 64) -> Callable:
+    """Hand-fused Pallas apply of the VELOCITY BLOCK F on stacked (4, n, n)
+    vectors, from explicit theta planes — the plane-level form serves both
+    the top-level F matvec of the lsc_mg_full inner GMRES (drivers.lsc_inners)
+    and the finest velocity-multigrid level (each MG level has its own
+    restricted theta). Same flux-form arithmetic as models/fused.
+    velocity_block_math (f32-safe on F's near-kernel), same in-kernel-halo
+    DMA scheme as the full A kernel.
+
+    Role match: this is the PC-apply hot path the reference spends its ILU
+    triangular solves on (reference solve.py:250-274) — here the F inner
+    solve is matrix-free MG/GMRES and this kernel is its matvec."""
+    from mpbp_tpu.models.fused import velocity_block_math
+
+    n = Tn.shape[0]
+    dtype = Tn.dtype
+    params = {k: float(v) for k, v in params.items() if k != "n"}
+    Tn_ext = _extend_rows(Tn, _H)                   # static, built once
+
+    def math(sh, tn, wnx, wny, st):
+        return velocity_block_math(sh, tn, wnx, wny, st[0], st[1], st[2],
+                                   st[3], params, dx, dy)
+
+    call = build_inkernel_halo_call(n, dtype, 4, math, interpret=interpret,
+                                    block_rows=block_rows)
+
+    def mv(vec):
+        return call(Tn_ext, Wnx, Wny, vec)
+
+    return mv
+
+
+def velocity_pallas_apply(op: MultiphaseOperator, interpret: bool = False,
+                          block_rows: int = 64) -> Callable:
+    """velocity_pallas_apply_planes bound to an operator's own fine-level
+    theta planes: stacked (4, n, n) -> (4, n, n)."""
+    return velocity_pallas_apply_planes(
+        op.phase_n.cell, op.phase_n.xface_pt, op.phase_n.yface_pt,
+        op.params, op.grid.dx, op.grid.dy, interpret=interpret,
+        block_rows=block_rows)

@@ -307,12 +307,18 @@ class StencilOperator:
             for inf in self.in_fields
             for (dr, dc), coef in (self.terms.get((of, inf)) or {}).items()
         ]
+        if not terms_flat:
+            raise ValueError("to_dia: operator has no stencil terms")
         uniq = np.unique(np.concatenate([
             np.unique(term_arrays(oi, inf, dr, dc)[1])
             for oi, inf, dr, dc, _ in terms_flat]))
         if dtype is None:
-            dtype = np.asarray(next(iter(
-                next(iter(self.terms.values())).values()))).dtype
+            # promote over ALL term coefficients — an arbitrary first term
+            # would raise StopIteration on an empty operator and np.add.at
+            # silently downcasts mixed-dtype coefficients (advisor r3);
+            # matches the CSR route's np.concatenate promotion
+            dtype = np.result_type(*(np.asarray(coef).dtype
+                                     for *_, coef in terms_flat))
         data = np.zeros((len(uniq), nrows), dtype=dtype)
         for oi, inf, dr, dc, coef in terms_flat:
             rows_, offs = term_arrays(oi, inf, dr, dc)

@@ -262,8 +262,6 @@ def _arnoldi_solution(state: ArnoldiState, x0, m: int, M, use_z: bool,
 
 @partial(jax.jit, static_argnames=("matvec", "M", "maxiter", "use_z",
                                    "orthog"))
-@partial(jax.jit, static_argnames=("matvec", "M", "maxiter", "use_z",
-                                   "orthog"))
 def _fgmres_cycle(matvec, b, x0, tol, maxiter: int, M, use_z: bool,
                   orthog: str = "cgs2", mv_consts=(), M_consts=()):
     """One FGMRES cycle. `b`/`x0` may be ANY array shape (1-D flat vectors or

@@ -66,3 +66,23 @@ def test_fused_pallas_interpret_matches(halo):
                                              block_rows=16, halo=halo)(v))
     np.testing.assert_allclose(got, want, rtol=2e-6,
                                atol=2e-6 * np.abs(want).max())
+
+
+def test_f_apply_pallas_interpret_matches():
+    """Velocity-block Pallas kernel equals the flux-form XLA F apply (flat
+    and stacked interfaces) — interpret mode."""
+    from mpbp_tpu.models.fused import make_f_apply, make_f_apply_pallas
+
+    op = make_multiphase_operator(32, eta_n=100.0, dtype=jnp.float32)
+    rng = np.random.default_rng(4)
+    vu = jnp.asarray(rng.normal(size=4 * 32 * 32).astype(np.float32))
+    want = np.asarray(make_f_apply(op)(vu))
+    got = np.asarray(make_f_apply_pallas(op, interpret=True,
+                                         block_rows=16)(vu))
+    np.testing.assert_allclose(got, want, rtol=2e-6,
+                               atol=2e-6 * np.abs(want).max())
+    got_stacked = np.asarray(make_f_apply_pallas(
+        op, interpret=True, block_rows=16, flat=False)(
+            vu.reshape(4, 32, 32)))
+    np.testing.assert_allclose(got_stacked.ravel(), want, rtol=2e-6,
+                               atol=2e-6 * np.abs(want).max())

@@ -44,6 +44,15 @@ def test_fused_stencil_kernels_lower_for_tpu_under_x64(op256):
                    v)
 
 
+def test_f_apply_pallas_lowers_for_tpu_under_x64(op256):
+    from mpbp_tpu.models.fused import make_f_apply_pallas
+
+    assert jax.config.jax_enable_x64
+    n = op256.grid.n
+    _export_ok(make_f_apply_pallas(op256, block_rows=64),
+               jax.ShapeDtypeStruct((4 * n * n,), jnp.float32))
+
+
 def test_dia_kernels_lower_for_tpu_under_x64(op256):
     from mpbp_tpu.ops.pallas_dia import (dia_spmv_pallas,
                                          dia_spmv_pallas_streamed,
