@@ -69,7 +69,8 @@ def main():
         print("kernels: no records yet", file=sys.stderr)
 
     solves = []
-    for step in ("solve_ir", "solve_hyb", "solve_2048"):
+    for step in ("solve_ir", "solve_hyb", "solve_1024", "solve_1024ir",
+                 "solve_2048"):
         recs = [r for r in json_lines(os.path.join(d, step + ".out"))
                 if r.get("metric") == "time_to_solve_multiphase"]
         solves.extend(recs)

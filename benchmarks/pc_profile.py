@@ -1,0 +1,226 @@
+"""On-chip cost decomposition of the production (lsc_mg_full) PC apply.
+
+The hybrid 512^2 solve spends ~600 ms per outer iteration (SOLVE_r03); the
+roofline cost of every op we can name sums to ~20 ms. This harness times
+each layer of the preconditioner separately on the real chip so the Pallas
+effort (judge r3 item #6) aims at the op that actually dominates:
+
+  a_f32 / a_f64     — fused full-A matvec (the outer residual op)
+  f_xla / f_pallas  — velocity-block F matvec, XLA roll vs fused Pallas
+  mg_vel            — one MGVelocitySolver cycle (the F-GMRES PC)
+  mg_p              — MGPressureSolver apply (3 V-cycles)
+  f_inner           — the full inner F solve (GMRES(10) + MG PC)
+  pc_mixed          — one full mixed-precision LSC PC apply
+  pc_f32            — one full f32 LSC PC apply (ir mode's M32)
+
+Usage: python benchmarks/pc_profile.py [--n 512] [--out PC_PROFILE.json]
+Prints one JSON line per section.
+"""
+
+from __future__ import annotations
+
+import os as _os
+import sys as _sys
+
+_REPO_ROOT = _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__)))
+if _REPO_ROOT not in _sys.path:
+    _sys.path.insert(0, _REPO_ROOT)
+
+import argparse
+import json
+import sys
+import time
+
+
+def log(*a):
+    print(*a, file=sys.stderr, flush=True)
+
+
+def main(argv=None):
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--n", type=int, default=512)
+    ap.add_argument("--out", default=None)
+    ap.add_argument("--sections", default=None)
+    args = ap.parse_args(argv)
+
+    import jax
+
+    jax.config.update("jax_enable_x64", True)
+    jax.config.update("jax_default_matmul_precision", "highest")
+    cache = _os.path.join(_REPO_ROOT, ".jax_cache_tpu")
+    jax.config.update("jax_compilation_cache_dir", cache)
+    jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0)
+
+    import jax.numpy as jnp
+    import numpy as np
+
+    from mpbp_tpu.drivers import (a_matvec, lsc_inners, make_preconditioner,
+                                  make_preconditioner_mixed)
+    from mpbp_tpu.models.fused import make_f_apply, make_f_apply_pallas
+    from mpbp_tpu.models.multiphase import make_multiphase_operator
+    from mpbp_tpu.solvers.multigrid import MGPressureSolver, MGVelocitySolver
+    from mpbp_tpu.utils.hoist import hoist_closure
+
+    n = args.n
+    dev = jax.devices()[0]
+    log(f"pc_profile: device={dev}, n={n}")
+    cpu0 = jax.devices("cpu")[0]
+    rng = np.random.default_rng(0)
+    results = []
+
+    with jax.default_device(cpu0):
+        op32 = make_multiphase_operator(n, c=1.0, d=-1.0, xi=1.0,
+                                        eta_n=100.0, eta_s=1.0,
+                                        dtype=jnp.float32)
+        op64 = make_multiphase_operator(n, c=1.0, d=-1.0, xi=1.0,
+                                        eta_n=100.0, eta_s=1.0,
+                                        dtype=jnp.float64)
+
+    def timed(fn, v, label, reps=2, lo=20, hi=80):
+        """Marginal per-apply seconds via chained device iterations (the
+        kernels_tpu.py methodology; chain renormalized to stay finite)."""
+        fnc, consts = hoist_closure(fn, v)
+
+        @jax.jit
+        def chain(v, consts, k):
+            def body(_, x):
+                y = fnc(x, *consts)
+                return y / jnp.maximum(jnp.max(jnp.abs(y)), 1e-30)
+            return jax.lax.fori_loop(0, k, body, v)
+
+        def run(k):
+            t0 = time.time()
+            float(jnp.sum(chain(v, consts, k)))
+            return time.time() - t0
+
+        t0 = time.time()
+        run(2)
+        t_compile = time.time() - t0
+        run(2)
+        samples = []
+        for _ in range(3):
+            t_lo = min(run(lo) for _ in range(reps))
+            t_hi = min(run(hi) for _ in range(reps))
+            samples.append((t_hi - t_lo) / (hi - lo))
+        dt = float(np.median(samples))
+        log(f"  {label}: compile {t_compile:.1f}s, {dt*1e3:.3f} ms/apply")
+        results.append({"section": label, "n": n,
+                        "ms_per_apply": round(dt * 1e3, 4),
+                        "compile_s": round(t_compile, 1)})
+        print(json.dumps(results[-1]), flush=True)
+        return dt
+
+    n2 = n * n
+    v5_32 = jnp.asarray(rng.normal(size=5 * n2).astype(np.float32))
+    v5_64 = jnp.asarray(np.asarray(v5_32, np.float64))
+    v4_32 = jnp.asarray(rng.normal(size=4 * n2).astype(np.float32))
+    vp_32 = jnp.asarray(rng.normal(size=n2).astype(np.float32))
+
+    sections = {}
+
+    def section(name):
+        def deco(fn):
+            sections[name] = fn
+            return fn
+        return deco
+
+    @section("a_f32")
+    def _():
+        timed(a_matvec(op32), v5_32, "a_f32_fused")
+
+    @section("a_f64")
+    def _():
+        timed(a_matvec(op64), v5_64, "a_f64_fused")
+
+    @section("f_xla")
+    def _():
+        timed(make_f_apply(op32), v4_32, "f_xla_roll")
+
+    @section("f_pallas")
+    def _():
+        mv = make_f_apply_pallas(op32)
+        ref = make_f_apply(op32)
+        fnc, consts = hoist_closure(mv, v4_32)
+        got = jax.jit(fnc)(v4_32, *consts)
+        rfc, rconsts = hoist_closure(ref, v4_32)
+        want = jax.jit(rfc)(v4_32, *rconsts)
+        perr = float(jnp.max(jnp.abs(got - want))
+                     / jnp.max(jnp.abs(want)))
+        log(f"  f_pallas parity vs xla roll: {perr:.2e}")
+        assert perr < 1e-4, perr
+        timed(mv, v4_32, "f_pallas_fused")
+
+    @section("mg_vel")
+    def _():
+        with jax.default_device(cpu0):
+            mgv = MGVelocitySolver.of(op32, cycles=1)
+        timed(mgv, v4_32, "mg_vel_1cycle")
+
+    @section("mg_vel_pallas")
+    def _():
+        with jax.default_device(cpu0):
+            mgv = MGVelocitySolver.of(op32, cycles=1, fused_pallas=True)
+        timed(mgv, v4_32, "mg_vel_1cycle_pallas")
+
+    @section("mg_p")
+    def _():
+        with jax.default_device(cpu0):
+            mgp = MGPressureSolver.of(op32, cycles=3)
+        timed(mgp, vp_32, "mg_p_3cycles")
+
+    @section("f_inner")
+    def _():
+        with jax.default_device(cpu0):
+            f_inner, _p = lsc_inners(op32, "lsc_mg_full", inner_tol=1e-4,
+                                     inner_iters=40, dtype=jnp.float32)
+        timed(f_inner, v4_32, "f_inner_gmres10_mgpc", lo=5, hi=20)
+
+    @section("f_inner_pallas")
+    def _():
+        with jax.default_device(cpu0):
+            f_inner, _p = lsc_inners(op32, "lsc_mg_full", inner_tol=1e-4,
+                                     inner_iters=40, dtype=jnp.float32,
+                                     fused_pallas=True)
+        timed(f_inner, v4_32, "f_inner_gmres10_mgpc_pallas", lo=5, hi=20)
+
+    @section("pc_f32")
+    def _():
+        with jax.default_device(cpu0):
+            M32 = make_preconditioner(op32, "lsc_mg_full", inner_tol=1e-4,
+                                      inner_iters=40, dtype=jnp.float32)
+        timed(M32, v5_32, "pc_f32_full_apply", lo=2, hi=8)
+
+    @section("pc_f32_pallas")
+    def _():
+        with jax.default_device(cpu0):
+            M32 = make_preconditioner(op32, "lsc_mg_full", inner_tol=1e-4,
+                                      inner_iters=40, dtype=jnp.float32,
+                                      fused_pallas=True)
+        timed(M32, v5_32, "pc_f32_full_apply_pallas", lo=2, hi=8)
+
+    @section("pc_mixed")
+    def _():
+        with jax.default_device(cpu0):
+            M = make_preconditioner_mixed(op64, op32, "lsc_mg_full",
+                                          inner_tol=1e-4, inner_iters=40)
+        timed(M, v5_64, "pc_mixed_full_apply", lo=2, hi=8)
+
+    selected = set(args.sections.split(",")) if args.sections else None
+    for name, fn in sections.items():
+        if selected is not None and name not in selected:
+            continue
+        try:
+            fn()
+        except Exception as e:  # pragma: no cover - hardware-dependent
+            r = {"section": name, "failed": f"{type(e).__name__}: {e}"[:300]}
+            results.append(r)
+            print(json.dumps(r), flush=True)
+
+    if args.out:
+        with open(args.out, "w") as f:
+            json.dump({"device": str(dev), "results": results}, f, indent=1)
+
+
+if __name__ == "__main__":
+    main()

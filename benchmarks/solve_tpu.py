@@ -53,7 +53,18 @@ def main(argv=None):
                          "outer FGMRES (matvec + Arnoldi) with the MG/LSC "
                          "preconditioner applied in f32 — flexible GMRES "
                          "tolerates the inexact PC, so ~all PC work runs at "
-                         "f32 speed while convergence is certified in f64.")
+                         "f32 speed while convergence is certified in f64. "
+                         "NOTE: pass --tol 1e-10 in hybrid mode at n>=512 — "
+                         "at 512^2 the saddle system amplifies a 7.5e-9 "
+                         "residual into ~4e-5 solution error, inflating the "
+                         "reported L2 above the 2.3e-5 discretization error "
+                         "(the r3 artifact's unexplained 2x gap; verified: "
+                         "tol=1e-10 lands at L2 2.3005e-5, 12 vs 7 iters).")
+    ap.add_argument("--pc-pallas", choices=["auto", "on", "off"],
+                    default="auto",
+                    help="use the hand-fused Pallas F-apply inside the "
+                         "preconditioner's inner solves (auto: on for TPU "
+                         "backends)")
     args = ap.parse_args(argv)
 
     import jax
@@ -81,6 +92,10 @@ def main(argv=None):
 
     n = args.n
     log(f"solve_tpu: device={jax.devices()[0]}, n={n}, pc={args.pc}")
+    use_pallas = (args.pc_pallas == "on"
+                  or (args.pc_pallas == "auto"
+                      and jax.devices()[0].platform != "cpu"))
+    log(f"pc inner solves: fused_pallas={use_pallas}")
 
     t0 = time.time()
     # assembly/MMS/PC setup run on the local CPU backend: setup through a
@@ -110,7 +125,8 @@ def main(argv=None):
         if args.mode == "f64":
             with setup_on_host:
                 M = make_preconditioner(op64, args.pc, dtype=jnp.float64,
-                                        inner_tol=1e-4, inner_iters=40)
+                                        inner_tol=1e-4, inner_iters=40,
+                                        fused_pallas=False)
         else:
             # f64 LSC formula glue around f32 inner solves: measured on
             # chip, the all-f32 glue (a bare cast around make_preconditioner)
@@ -121,7 +137,8 @@ def main(argv=None):
             with setup_on_host:
                 M = make_preconditioner_mixed(op64, op32, args.pc,
                                               inner_tol=1e-4,
-                                              inner_iters=40)
+                                              inner_iters=40,
+                                              fused_pallas=use_pallas)
         t_pc = time.time() - t0
         log(f"preconditioner setup: {t_pc:.2f}s")
 
@@ -150,7 +167,8 @@ def main(argv=None):
         t0 = time.time()
         with setup_on_host:
             M32 = make_preconditioner(op32, args.pc, dtype=jnp.float32,
-                                      inner_tol=1e-4, inner_iters=40)
+                                      inner_tol=1e-4, inner_iters=40,
+                                      fused_pallas=use_pallas)
         # hot matvec: hand-fused Pallas kernel when it compiles on this
         # toolchain (judge r2 item #1: the hero kernel in the solve loop);
         # XLA fused-roll apply otherwise (a_matvec default)

@@ -282,9 +282,13 @@ class VelLevel:
 
 
 def build_velocity_mg(mop: MultiphaseOperator, n_coarsest: int = 8,
-                      dtype=None) -> list[VelLevel]:
+                      dtype=None, fused_pallas: bool = False) -> list[VelLevel]:
     """Level hierarchy for the coupled velocity block F, rediscretized from
-    2x2-averaged theta planes (models/multiphase.assemble_velocity_block)."""
+    2x2-averaged theta planes (models/multiphase.assemble_velocity_block).
+
+    fused_pallas=True swaps the FINEST level's flux apply (the smoother/
+    residual hot op — the only level whose cost matters, geometric decay)
+    for the hand-fused Pallas kernel; falls back silently off-TPU."""
     from mpbp_tpu.models.multiphase import assemble_velocity_block
 
     dtype = dtype or mop.phase_n.cell.dtype
@@ -321,6 +325,22 @@ def build_velocity_mg(mop: MultiphaseOperator, n_coarsest: int = 8,
                                    ph_n.xface_pt.astype(dtype),
                                    ph_n.yface_pt.astype(dtype),
                                    p, grid.dx, grid.dy)
+        if fused_pallas and len(levels) == 0 and n % 16 == 0:
+            try:
+                from mpbp_tpu.ops.pallas_stencil import (
+                    velocity_pallas_apply_planes)
+
+                pcall = velocity_pallas_apply_planes(
+                    ph_n.cell.astype(dtype), ph_n.xface_pt.astype(dtype),
+                    ph_n.yface_pt.astype(dtype), p, grid.dx, grid.dy)
+
+                def _flux_pallas(x, _call=pcall):
+                    out = _call(jnp.stack([x[f] for f in _VEL]))
+                    return {f: out[i] for i, f in enumerate(_VEL)}
+
+                flux = _flux_pallas
+            except Exception:  # pragma: no cover - toolchain-dependent
+                pass
         if n <= n_coarsest or n % 2 != 0:
             pinv = jnp.asarray(np.linalg.pinv(F64.to_dense()), dtype)
             levels.append(VelLevel(n, F, diag, pinv, flux))
@@ -374,8 +394,10 @@ class MGVelocitySolver:
 
     @classmethod
     def of(cls, mop: MultiphaseOperator, cycles: int = 2,
-           n_coarsest: int = 8) -> "MGVelocitySolver":
-        return cls(build_velocity_mg(mop, n_coarsest), cycles)
+           n_coarsest: int = 8,
+           fused_pallas: bool = False) -> "MGVelocitySolver":
+        return cls(build_velocity_mg(mop, n_coarsest,
+                                     fused_pallas=fused_pallas), cycles)
 
     def __call__(self, v: jax.Array) -> jax.Array:
         """Accepts flat (4 n^2,) or stacked (4, n, n) velocity vectors (the
