@@ -284,8 +284,13 @@ def ell_spmm_pallas(A: BandedELL, k: int,
                 P = P + jnp.where(s_iota == l_iota + rel[:, None],
                                   v[:, None], jnp.zeros((), dtype))
             cp.wait()
+            # HIGHEST: the MXU's default truncated-mantissa f32 mode costs
+            # ~4.8e-3 relative error on these contractions (measured on chip,
+            # r4) — unacceptable for a solver matvec; the 3-pass mode is
+            # free here because the kernel is bound by the VPU P-build.
             acc = acc + jnp.dot(P, slab_vmem[:, :],
-                                preferred_element_type=jnp.float32)
+                                preferred_element_type=jnp.float32,
+                                precision=jax.lax.Precision.HIGHEST)
             w0 += wb
         out_ref[:, :] = acc.astype(dtype)
 
