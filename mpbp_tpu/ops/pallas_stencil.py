@@ -452,7 +452,9 @@ def build_inkernel_halo_call(n: int, dtype, nf: int, math: Callable,
         scratch_shapes=[
             pltpu.VMEM((TR + 2 * H, n), dtype),
             pltpu.VMEM((nf, TR + 2 * H, n), dtype),
-            pltpu.SemaphoreType.DMA((3 * nf + 1,)),
+            # rounded up to a sublane multiple: nf=5 gives exactly the
+            # proven (16,) layout; odd sizes like 13 are untested territory
+            pltpu.SemaphoreType.DMA((-(-(3 * nf + 1) // 8) * 8,)),
         ],
         interpret=interpret,
         cost_estimate=pl.CostEstimate(
