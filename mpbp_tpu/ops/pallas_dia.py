@@ -134,10 +134,10 @@ def dia_spmv_pallas(A: DIAMatrix, block_rows: int = 128,
         grid=(n_blocks,),
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.VMEM),          # x2 (2R, 128)
-            pl.BlockSpec((K, TR, _LANES), lambda i: (0, i, 0),
+            pl.BlockSpec((K, TR, _LANES), lambda i: (_I(0), i, _I(0)),
                          memory_space=pltpu.VMEM),          # data stripe
         ],
-        out_specs=pl.BlockSpec((TR, _LANES), lambda i: (i, 0),
+        out_specs=pl.BlockSpec((TR, _LANES), lambda i: (i, _I(0)),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((R, _LANES), dtype),
         interpret=interpret,
@@ -266,10 +266,10 @@ def dia_spmv_pallas_streamed(A: DIAMatrix, block_rows: int = 64,
         grid=(n_blocks,),
         in_specs=[
             pl.BlockSpec(memory_space=pl.ANY),              # x2 in HBM
-            pl.BlockSpec((K, TR, _LANES), lambda i: (0, i, 0),
+            pl.BlockSpec((K, TR, _LANES), lambda i: (_I(0), i, _I(0)),
                          memory_space=pltpu.VMEM),          # data stripe
         ],
-        out_specs=pl.BlockSpec((TR, _LANES), lambda i: (i, 0),
+        out_specs=pl.BlockSpec((TR, _LANES), lambda i: (i, _I(0)),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((R, _LANES), dtype),
         scratch_shapes=[

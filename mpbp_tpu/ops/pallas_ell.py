@@ -64,6 +64,10 @@ from jax.experimental.pallas import tpu as pltpu
 _LANES = 128
 _SLAB = 2 * _LANES          # per-band source window: two lane-rows
 _VMEM_BYTES = 100 * 2 ** 20
+# index-map/ref literals must be i32: bare Python ints trace as i64 under
+# jax_enable_x64 and Mosaic fails to legalize 'func.return (i32, i64)'
+# (reproduced on chip, r4)
+_I = np.int32
 
 
 @jax.tree_util.register_pytree_node_class
@@ -211,12 +215,12 @@ def ell_spmv_pallas(A: BandedELL, interpret: bool = False) -> Callable:
         grid=(n_blocks,),
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.VMEM),             # x2 (2R, 128)
-            pl.BlockSpec((W, TR, _LANES), lambda i: (0, i, 0),
+            pl.BlockSpec((W, TR, _LANES), lambda i: (_I(0), i, _I(0)),
                          memory_space=pltpu.VMEM),             # idx stripe
-            pl.BlockSpec((W, TR, _LANES), lambda i: (0, i, 0),
+            pl.BlockSpec((W, TR, _LANES), lambda i: (_I(0), i, _I(0)),
                          memory_space=pltpu.VMEM),             # vals stripe
         ],
-        out_specs=pl.BlockSpec((TR, _LANES), lambda i: (i, 0),
+        out_specs=pl.BlockSpec((TR, _LANES), lambda i: (i, _I(0)),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((R, _LANES), dtype),
         interpret=interpret,
@@ -299,12 +303,12 @@ def ell_spmm_pallas(A: BandedELL, k: int,
         grid=(R,),
         in_specs=[
             pl.BlockSpec(memory_space=pl.ANY),                # X2 (2N, kp)
-            pl.BlockSpec((1, W, _LANES), lambda i: (i, 0, 0),
+            pl.BlockSpec((1, W, _LANES), lambda i: (i, _I(0), _I(0)),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, W, _LANES), lambda i: (i, 0, 0),
+            pl.BlockSpec((1, W, _LANES), lambda i: (i, _I(0), _I(0)),
                          memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((_LANES, kp), lambda i: (i, 0),
+        out_specs=pl.BlockSpec((_LANES, kp), lambda i: (i, _I(0)),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((N, kp), dtype),
         scratch_shapes=[

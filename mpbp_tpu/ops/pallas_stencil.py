@@ -119,13 +119,13 @@ def build_fused_tile_call(n_loc: int, n: int, dtype, params: dict,
         grid=(n_blocks,),
         in_specs=[
             pl.BlockSpec(memory_space=pl.ANY),       # tn_ext (n_loc+2H, n)
-            pl.BlockSpec((TR, n), lambda i: (i, 0),
+            pl.BlockSpec((TR, n), lambda i: (i, _I(0)),
                          memory_space=pltpu.VMEM),   # Wnx
-            pl.BlockSpec((TR, n), lambda i: (i, 0),
+            pl.BlockSpec((TR, n), lambda i: (i, _I(0)),
                          memory_space=pltpu.VMEM),   # Wny
             pl.BlockSpec(memory_space=pl.ANY),       # x_ext (5, n_loc+2H, n)
         ],
-        out_specs=pl.BlockSpec((5, TR, n), lambda i: (0, i, 0),
+        out_specs=pl.BlockSpec((5, TR, n), lambda i: (_I(0), i, _I(0)),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((5, n_loc, n), dtype),
         scratch_shapes=[
@@ -302,13 +302,13 @@ def multiphase_pallas_apply_pipelined(op: MultiphaseOperator,
         grid=(n_blocks,),
         in_specs=[
             pl.BlockSpec(memory_space=pl.ANY),       # Tn_ext (n+2H, n)
-            pl.BlockSpec((TR, n), lambda i: (i, 0),
+            pl.BlockSpec((TR, n), lambda i: (i, _I(0)),
                          memory_space=pltpu.VMEM),   # Wnx
-            pl.BlockSpec((TR, n), lambda i: (i, 0),
+            pl.BlockSpec((TR, n), lambda i: (i, _I(0)),
                          memory_space=pltpu.VMEM),   # Wny
             pl.BlockSpec(memory_space=pl.ANY),       # state (5, n, n)
         ],
-        out_specs=pl.BlockSpec((5, TR, n), lambda i: (0, i, 0),
+        out_specs=pl.BlockSpec((5, TR, n), lambda i: (_I(0), i, _I(0)),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((5, n, n), dtype),
         scratch_shapes=[
@@ -440,13 +440,13 @@ def build_inkernel_halo_call(n: int, dtype, nf: int, math: Callable,
         grid=(n_blocks,),
         in_specs=[
             pl.BlockSpec(memory_space=pl.ANY),       # Tn_ext (n+2H, n)
-            pl.BlockSpec((TR, n), lambda i: (i, 0),
+            pl.BlockSpec((TR, n), lambda i: (i, _I(0)),
                          memory_space=pltpu.VMEM),   # Wnx
-            pl.BlockSpec((TR, n), lambda i: (i, 0),
+            pl.BlockSpec((TR, n), lambda i: (i, _I(0)),
                          memory_space=pltpu.VMEM),   # Wny
             pl.BlockSpec(memory_space=pl.ANY),       # state (nf, n, n)
         ],
-        out_specs=pl.BlockSpec((nf, TR, n), lambda i: (0, i, 0),
+        out_specs=pl.BlockSpec((nf, TR, n), lambda i: (_I(0), i, _I(0)),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((nf, n, n), dtype),
         scratch_shapes=[

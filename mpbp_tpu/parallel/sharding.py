@@ -198,7 +198,7 @@ def sharded_solve(mop: MultiphaseOperator, b_state: dict, mesh: Mesh,
                   tol: float = 1e-8, maxiter: int = 100,
                   pc: Callable | None = None, axis: str = "x",
                   orthog: str = "cgs2", fused: bool = True,
-                  pallas: bool = False):
+                  pallas: bool = False, x0=None):
     """FGMRES on the row-sharded multiphase system.
 
     The returned work runs fully SPMD: stencil applies exchange halos over
@@ -238,9 +238,19 @@ def sharded_solve(mop: MultiphaseOperator, b_state: dict, mesh: Mesh,
     else:
         mv = make_fused_apply(sop) if fused else stacked_matvec(sop.A)
 
+    # x0: restart iterate for checkpoint/resume across processes
+    # (utils/checkpoint.save_krylov_state holds the replicated iterate;
+    # tests/test_distributed.py exercises the multi-process round trip)
+    x0s = None if x0 is None else jax.device_put(jnp.asarray(x0), vsh)
+
     @partial(jax.jit, out_shardings=None)
-    def run(bv):
+    def run(bv, x0v):
+        return krylov.fgmres(mv, bv, x0=x0v, tol=tol, maxiter=maxiter,
+                             M=pc, orthog=orthog)
+
+    @partial(jax.jit, out_shardings=None)
+    def run0(bv):
         return krylov.fgmres(mv, bv, tol=tol, maxiter=maxiter, M=pc,
                              orthog=orthog)
 
-    return run(b)
+    return run0(b) if x0s is None else run(b, x0s)
