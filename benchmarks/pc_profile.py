@@ -79,7 +79,10 @@ def main(argv=None):
 
     def timed(fn, v, label, reps=2, lo=20, hi=80):
         """Marginal per-apply seconds via chained device iterations (the
-        kernels_tpu.py methodology; chain renormalized to stay finite)."""
+        kernels_tpu.py methodology; chain renormalized to stay finite).
+        Window lengths adapt so the marginal span is >~150 ms — relay/host
+        jitter is several ms, which made sub-ms ops measure negative with
+        fixed short chains (r4)."""
         fnc, consts = hoist_closure(fn, v)
 
         @jax.jit
@@ -97,7 +100,9 @@ def main(argv=None):
         t0 = time.time()
         run(2)
         t_compile = time.time() - t0
-        run(2)
+        t_probe = max(run(8) / 8, 1e-7)
+        scale = max(1, int(0.15 / (t_probe * (hi - lo))))
+        lo, hi = lo * scale, hi * scale
         samples = []
         for _ in range(3):
             t_lo = min(run(lo) for _ in range(reps))
