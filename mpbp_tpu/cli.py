@@ -95,6 +95,7 @@ def main(argv=None):
                 ilut_fill=sol.ilut_fill, ilut_tau=sol.ilut_tau,
                 ilut_refine=sol.ilut_refine, inner_tol=sol.inner_tol,
                 inner_iters=sol.inner_iters, precision=sol.precision,
+                fused_pallas=sol.fused_pallas,
                 true_res_monitor=args.true_res_monitor)
         nnz = 11 * 5 * prob.n * prob.n  # stencil-tap estimate
         m = collect_solve_metrics(rep, nnz, 0.0, t_all.elapsed)

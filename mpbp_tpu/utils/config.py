@@ -40,6 +40,8 @@ class SolverConfig:
     inner_iters: int = 60
     dtype: str = "float64"
     precision: str = "full"        # full | ir | hybrid (drivers.solve_multiphase)
+    fused_pallas: bool = False     # Pallas F-apply in the PC inner solves
+                                   # (TPU backends; drivers.lsc_inners)
 
 
 @dataclasses.dataclass
