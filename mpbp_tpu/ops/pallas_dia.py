@@ -198,7 +198,9 @@ def dia_spmv_streamed_supported(A: DIAMatrix, dtype=jnp.float32,
     R = nrows // _LANES
     K = len(A.offsets)
     TR = _pick_block_rows_streamed(R, K, block_rows)
-    win = K * (TR + 8) * (_LANES * 4)             # DMA windows (resident)
+    # unique aligned windows (diagonal clusters share DMAs — see kernel)
+    U = len({((int(o) % nrows) // _LANES // 8) * 8 for o in A.offsets})
+    win = U * (TR + 8) * (_LANES * 4)             # DMA windows (resident)
     stripe = 2 * (K + 1) * TR * (_LANES * 4)      # data + out, dbl-buffered
     return win + stripe <= vmem_budget - 2 ** 20
 
@@ -229,29 +231,40 @@ def dia_spmv_pallas_streamed(A: DIAMatrix, block_rows: int = 64,
     r8s = [(r // 8) * 8 for r in rs]     # aligned DMA start offsets
     rems = [r - r8 for r, r8 in zip(rs, r8s)]
     WIN = TR + 8                         # covers rem (<8) + TR + 1 rows
+    # diagonals cluster (0, +-1, +-n, field-block offsets): many share the
+    # SAME aligned window start. DMA each unique window ONCE — for the
+    # multiphase A this is 10 windows for K=35 at n=512 (17 at 1024), i.e.
+    # x-traffic (K+U)N instead of 2KN, a ~1.7x bound lift (r4)
+    uniq = sorted(set(r8s))
+    U = len(uniq)
+    uidx = [uniq.index(r8) for r8 in r8s]
 
     data3 = A.data.reshape(K, R, _LANES)
 
     def kernel(x2_hbm, d_ref, out_ref, xwin, sems):
         t0 = pl.program_id(0) * TR
         copies = []
-        for k in range(K):
+        for u in range(U):
             # start is 8-aligned by construction (TR % 8 == 0 or single
             # block, r8s 8-aligned); the multiple_of hint is required once
             # the array spans >1 lane tile — Mosaic's divisibility prover
             # rejects unhinted dynamic starts there (observed on chip for
             # the fused stencil kernels, r3)
             copies.append(pltpu.make_async_copy(
-                x2_hbm.at[pl.ds(pl.multiple_of(t0 + r8s[k], 8), WIN), :],
-                xwin.at[_I(k)], sems.at[_I(k)]))
+                x2_hbm.at[pl.ds(pl.multiple_of(t0 + uniq[u], 8), WIN), :],
+                xwin.at[_I(u)], sems.at[_I(u)]))
         for c in copies:
             c.start()
         col_ids = jax.lax.broadcasted_iota(jnp.int32, (TR, _LANES), 1)
         acc = jnp.zeros((TR, _LANES), dtype)
+        waited = set()
         for k in range(K):
-            copies[k].wait()
+            u = uidx[k]
+            if u not in waited:
+                copies[u].wait()
+                waited.add(u)
             rem, c = rems[k], cs[k]
-            win = xwin[_I(k), rem:rem + TR + 1, :]       # (TR+1, 128)
+            win = xwin[_I(u), rem:rem + TR + 1, :]       # (TR+1, 128)
             if c == 0:
                 y = win[:TR, :]
             else:
@@ -273,15 +286,15 @@ def dia_spmv_pallas_streamed(A: DIAMatrix, block_rows: int = 64,
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((R, _LANES), dtype),
         scratch_shapes=[
-            pltpu.VMEM((K, WIN, _LANES), dtype),
-            pltpu.SemaphoreType.DMA((K,)),
+            pltpu.VMEM((U, WIN, _LANES), dtype),
+            pltpu.SemaphoreType.DMA((-(-U // 8) * 8,)),
         ],
         interpret=interpret,
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=_VMEM_BYTES),
         cost_estimate=pl.CostEstimate(
             flops=2 * K * N, transcendentals=0,
-            bytes_accessed=2 * K * N * np.dtype(np.float32).itemsize),
+            bytes_accessed=(K + U) * N * np.dtype(np.float32).itemsize),
     )
 
     def mv(x: jax.Array) -> jax.Array:
