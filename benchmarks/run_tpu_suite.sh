@@ -38,7 +38,8 @@ run_step solve_ir     1800 python benchmarks/solve_tpu.py --n 512 --mode ir
 # hybrid needs tol 1e-10: at 512^2 a 7.5e-9 residual leaves ~4e-5 algebraic
 # error on top of the 2.3e-5 discretization error (see solve_tpu.py --mode)
 run_step solve_hyb    2400 python benchmarks/solve_tpu.py --n 512 --mode hybrid --tol 1e-10
-run_step solve_1024   3000 python benchmarks/solve_tpu.py --n 1024 --mode hybrid --tol 1e-10 --max-outer 8
+# max-outer 4 (32 Krylov dims): 64 f64 V+Z bases at N=5.24M OOM the 15.75G HBM (measured r4: 40G)
+run_step solve_1024   3000 python benchmarks/solve_tpu.py --n 1024 --mode hybrid --tol 1e-10 --max-outer 4
 run_step solve_1024ir 3000 python benchmarks/solve_tpu.py --n 1024 --mode ir
 run_step solve_2048   3000 python benchmarks/solve_tpu.py --n 2048 --mode ir --tol 1e-6 --max-outer 3
 echo "$(date +%T) suite done" >> $OUT/status.log
