@@ -70,7 +70,7 @@ def main():
 
     solves = []
     for step in ("solve_ir", "solve_hyb", "solve_1024", "solve_1024ir",
-                 "solve_2048"):
+                 "solve_1024h", "solve_2048", "solve_2048h"):
         recs = [r for r in json_lines(os.path.join(d, step + ".out"))
                 if r.get("metric") == "time_to_solve_multiphase"]
         solves.extend(recs)
