@@ -41,6 +41,11 @@ def main(argv=None):
     ap.add_argument("--inner-tol", type=float, default=1e-6)
     ap.add_argument("--inner-maxiter", type=int, default=40)
     ap.add_argument("--max-outer", type=int, default=5)
+    ap.add_argument("--restart", type=int, default=0,
+                    help="hybrid mode: restarted FGMRES cycle length "
+                         "(bounds the f64 V+Z basis memory — the unrestarted "
+                         "32-dim basis at 1024^2 peaks over the 15.75G HBM, "
+                         "measured r4; 0 = no restart)")
     ap.add_argument("--eta-n", type=float, default=100.0)
     ap.add_argument("--eta-s", type=float, default=1.0)
     ap.add_argument("--mode", choices=["ir", "f64", "hybrid"], default="ir",
@@ -147,7 +152,8 @@ def main(argv=None):
         def run():
             t0 = time.time()
             res = krylov.fgmres(mv64, b64, tol=args.tol,
-                                maxiter=8 * args.max_outer, M=M)
+                                maxiter=8 * args.max_outer, M=M,
+                                restart=args.restart or None)
             relres = float(jnp.linalg.norm(b64 - mv64(res.x))
                            / jnp.linalg.norm(b64))   # fetch = device sync
             return res, relres, time.time() - t0
