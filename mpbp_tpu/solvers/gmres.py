@@ -94,11 +94,30 @@ from mpbp_tpu.utils.hoist import hoist_closure as _hoist  # noqa: E402
 
 
 def _tdot(a, b, axes):
-    """tensordot at HIGHEST precision. On TPU the default matmul precision
-    multiplies in bf16 (~3 decimal digits) — fatal for Gram-Schmidt on
-    ill-conditioned systems (measured: the 512^2 stiff solve stalls at
-    relres ~2e-2 with default-precision projections). These GEMVs are
-    HBM-bound (streaming V), so exact-f32 multiplies cost ~nothing."""
+    """Arnoldi contraction at HIGHEST precision. On TPU the default matmul
+    precision multiplies in bf16 (~3 decimal digits) — fatal for
+    Gram-Schmidt on ill-conditioned systems (measured: the 512^2 stiff solve
+    stalls at relres ~2e-2 with default-precision projections). These GEMVs
+    are HBM-bound (streaming V), so exact-f32 multiplies cost ~nothing.
+
+    f64 takes a broadcast-multiply + tree-sum path instead of tensordot:
+    the TPU f64 dot lowers to a ~8x-slower emulation (measured r4 at
+    (19, 1.31M): tensordot 24.9 ms vs mul+sum 3.1 ms — it was 97% of the
+    hybrid solve's outer-iteration cost). Only the two contraction shapes
+    the Arnoldi code uses are specialized; anything else falls through.
+    Under a sharded mesh the sum over sharded axes is still one psum (the
+    fused all-reduce), same as the tensordot lowering."""
+    if jnp.result_type(a, b) == jnp.float64:
+        a_ax, b_ax = axes
+        if (len(b_ax) == jnp.ndim(b)
+                and tuple(a_ax) == tuple(range(1, jnp.ndim(a)))):
+            # (m, *S) x (*S) -> (m,): projection GEMV
+            return jnp.sum(a * b[None], axis=tuple(range(1, jnp.ndim(a))))
+        if (tuple(a_ax) == (0,) and tuple(b_ax) == (0,)
+                and jnp.ndim(a) == 1):
+            # (m,) x (m, *S) -> (*S): basis expansion
+            return jnp.sum(
+                a.reshape(a.shape + (1,) * (jnp.ndim(b) - 1)) * b, axis=0)
     return jnp.tensordot(a, b, axes=axes, precision=jax.lax.Precision.HIGHEST)
 
 
