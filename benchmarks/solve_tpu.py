@@ -45,7 +45,11 @@ def main(argv=None):
                     help="hybrid mode: restarted FGMRES cycle length "
                          "(bounds the f64 V+Z basis memory — the unrestarted "
                          "32-dim basis at 1024^2 peaks over the 15.75G HBM, "
-                         "measured r4; 0 = no restart)")
+                         "measured r4; 0 = no restart). Use the LARGEST "
+                         "cycle that fits: measured r4, 512^2 unrestarted "
+                         "5.2s vs restart-8 9.3s, and 1024^2 restart-16 "
+                         "30.5s vs restart-8 57.3s — restarts cost both "
+                         "extra iterations and per-cycle dispatch.")
     ap.add_argument("--eta-n", type=float, default=100.0)
     ap.add_argument("--eta-s", type=float, default=1.0)
     ap.add_argument("--mode", choices=["ir", "f64", "hybrid"], default="ir",
