@@ -109,56 +109,53 @@ def config2(small):
     t0 = time.time()
     rep = solve_multiphase(n=n, c=1, d=-1, xi=1.0, eta_n=100.0, eta_s=1.0,
                            pc="lsc_mg_full", tol=1e-8, maxiter=60)
+    t_first = time.time() - t0
+    # warm rerun: assembly/setup/jit caches all hit, splitting one-time
+    # compile+setup cost from the steady-state solve (VERDICT r4 item #8:
+    # the unexplained 433 s config-2 row was ~all first-call cost)
+    t0 = time.time()
+    rep = solve_multiphase(n=n, c=1, d=-1, xi=1.0, eta_n=100.0, eta_s=1.0,
+                           pc="lsc_mg_full", tol=1e-8, maxiter=60)
+    t_warm = time.time() - t0
     _emit({"config": 2, "desc": "multiphase LSC (SpGEMM products)", "n": n,
            "pc": "lsc_mg_full", "iters": int(rep.iters),
            "relres": float(rep.relres), "converged": bool(rep.converged),
            "error_l2": rep.error_norms["l2"],
-           "solve_s": round(time.time() - t0, 3)})
-
-
-def _sharded_solve(n, maxiter, config_id, desc):
-    import jax
-    import jax.numpy as jnp
-    import numpy as np
-    from jax.sharding import Mesh
-
-    from mpbp_tpu.models import mms
-    from mpbp_tpu.models.multiphase import make_multiphase_operator
-    from mpbp_tpu.parallel import sharding as sh
-    from mpbp_tpu.solvers import gmres as krylov
-
-    devs = jax.devices()
-    mesh = Mesh(np.array(devs), axis_names=("x",))
-    op = make_multiphase_operator(n, c=1.0, d=-1.0, xi=1.0, eta_n=100.0,
-                                  eta_s=1.0, dtype=jnp.float32)
-    prob = mms.variable_thn_problem(1.0, -1.0, 1.0, 100.0, 1.0)
-    _, b = mms.fill_sol_and_rhs(op.grid, prob)
-    sop = sh.shard_multiphase(op, mesh)
-    bv = jax.device_put(
-        sh.stack_state({k: v.astype(jnp.float32) for k, v in b.items()}),
-        sh.vector_sharding(mesh))
-    from mpbp_tpu.models.fused import make_fused_apply
-
-    mv = jax.jit(make_fused_apply(sop))   # the production matvec
-    res = krylov.fgmres(mv, bv, tol=0.0, maxiter=maxiter)   # warm/compile
-    t0 = time.time()
-    res = krylov.fgmres(mv, bv, tol=0.0, maxiter=maxiter)
-    float(jnp.sum(res.x))
-    t = time.time() - t0
-    _emit({"config": config_id, "desc": desc, "n": n, "devices": len(devs),
-           "iters": int(res.iters), "relres": float(res.relres),
-           "s_per_iter": round(t / max(int(res.iters), 1), 4),
-           "solve_s": round(t, 3)})
+           "first_s": round(t_first, 1),
+           "compile_setup_s": round(t_first - t_warm, 1),
+           "solve_s": round(t_warm, 3)})
 
 
 def config3(small):
-    _sharded_solve(128 if small else 512, 20, 3,
-                   "multiphase sharded FGMRES (fixed 20 iters)")
+    """BASELINE configs[3] as specified (VERDICT r4 missing #4): CONVERGED
+    sharded 512^2 solves — block-Jacobi ILU(0) tri-solve inner solves
+    head-to-head against the MG default, same tolerance."""
+    from benchmarks.big_sharded import solve_once
+
+    n = 128 if small else 512
+    for pc in ("mg", "block_ilu0"):
+        r = solve_once(n, _n_devices(), pc, 1e-8, 200, 1e-4, 40)
+        r["config"] = 3
+        r["desc"] = f"multiphase sharded LSC({pc}) converged"
+        _emit(r)
 
 
 def config4(small):
-    _sharded_solve(256 if small else 1024, 10, 4,
-                   "multiphase row-partitioned halo SpMV (fixed 10 iters)")
+    """BASELINE configs[4]: converged large-grid row-partitioned solve
+    (1024^2; the 2048^2 mixed-precision run is SHARDED_r05.json)."""
+    from benchmarks.big_sharded import solve_once
+
+    n = 256 if small else 1024
+    r = solve_once(n, _n_devices(), "mg", 1e-8, 60, 1e-4, 40,
+                   precision="hybrid")
+    r["config"] = 4
+    r["desc"] = "multiphase row-partitioned hybrid (f64 outer, f32 inner)"
+    _emit(r)
+
+
+def _n_devices():
+    import jax
+    return len(jax.devices())
 
 
 def main(argv=None):

@@ -222,6 +222,33 @@ def main(argv=None):
             results.append(r)
             print(json.dumps(r), flush=True)
 
+    # accounted-vs-measured roll-up (VERDICT r4 item #8): the full PC apply
+    # should equal its own components — 2 F-inner solves + 2 pressure-MG
+    # solves (+ O(1 ms) D/GtFG/G glue). A gap here is a harness or
+    # compilation problem, not physics; surface it automatically.
+    by = {r["section"]: r.get("ms_per_apply") for r in results}
+    for pc_sec, f_sec in (("pc_f32_full_apply", "f_inner_gmres10_mgpc"),
+                          ("pc_f32_full_apply_pallas",
+                           "f_inner_gmres10_mgpc_pallas")):
+        if by.get(pc_sec) and by.get(f_sec) and by.get("mg_p_3cycles"):
+            accounted = 2 * by[f_sec] + 2 * by["mg_p_3cycles"]
+            r = {"section": f"accounting:{pc_sec}",
+                 "accounted_ms": round(accounted, 2),
+                 "measured_ms": round(by[pc_sec], 2),
+                 "ratio": round(by[pc_sec] / accounted, 2),
+                 "note": "measured/accounted ~1 +- glue; >>1 flags a "
+                         "solve-level gap (VERDICT r4 weak #1 class)"}
+            results.append(r)
+            print(json.dumps(r), flush=True)
+    neg = [r["section"] for r in results
+           if isinstance(r.get("ms_per_apply"), (int, float))
+           and r["ms_per_apply"] < 0]
+    if neg:
+        r = {"section": "accounting:negative_timings", "sections": neg,
+             "note": "nonphysical — remeasure with longer windows"}
+        results.append(r)
+        print(json.dumps(r), flush=True)
+
     if args.out:
         with open(args.out, "w") as f:
             json.dump({"device": str(dev), "results": results}, f, indent=1)

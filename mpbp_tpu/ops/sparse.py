@@ -143,8 +143,8 @@ class CSRMatrix:
         v = np.asarray(self.vals)
         starts = np.asarray(self.indptr[:-1])
         # slot s of row r reads entry starts[r]+s, clamped into the row so
-        # padding repeats the row's first column with value 0 (rows with no
-        # entries read a clamped global index, value forced to 0)
+        # padding repeats the row's LAST entry's column with value 0 (rows
+        # with no entries read a clamped global index, value forced to 0)
         slot = np.arange(w)[None, :]
         in_row = slot < lens[:, None]
         flat = np.minimum(starts[:, None] + np.minimum(slot, np.maximum(

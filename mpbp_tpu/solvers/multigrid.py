@@ -336,7 +336,10 @@ def build_velocity_mg(mop: MultiphaseOperator, n_coarsest: int = 8,
                                    ph_n.xface_pt.astype(dtype),
                                    ph_n.yface_pt.astype(dtype),
                                    p, grid.dx, grid.dy)
-        if fused_pallas and len(levels) == 0 and n % 16 == 0:
+        if (fused_pallas and len(levels) == 0 and n % 16 == 0
+                and jax.default_backend() == "tpu"):
+            # platform-gated (ADVICE r4): pallas_call only fails at
+            # jit-compile time off-TPU, so try/except alone cannot fall back
             try:
                 from mpbp_tpu.ops.pallas_stencil import (
                     velocity_pallas_apply_planes)
