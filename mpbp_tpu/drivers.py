@@ -417,7 +417,19 @@ def spectrum_report(n: int = 16, c: float = 1.0, d: float = -1.0,
     ex = jnp.ones(5 * n * n, jnp.float64)
     use_exact = (n <= 12) if exact is None else exact
 
+    def _jit_matvec(fn):
+        # one jitted call per Arnoldi step (hoisted consts device-resident):
+        # an eager A*M^-1 apply dispatches its ~50 glue ops individually —
+        # through the remote-device relay that is seconds per step
+        from mpbp_tpu.utils.hoist import hoist_closure
+
+        conv, consts = hoist_closure(fn, ex)
+        jf = jax.jit(conv)
+        return lambda v: jf(v, *consts)
+
     def _spectrum(matvec) -> dict:
+        if not use_exact:
+            matvec = _jit_matvec(matvec)
         if use_exact:
             # full dense spectrum: materialize columns in one vmapped batch
             # (the PC applies — inner Krylov included — batch fine under
@@ -436,16 +448,28 @@ def spectrum_report(n: int = 16, c: float = 1.0, d: float = -1.0,
         # 0 eigenvalue of A*M^-1 (reference fights it at solve.py:260-272);
         # report it separately rather than letting it mask the clustering
         nontrivial = evc[np.abs(evc) > 1e-8]
-        return {
+        out = {
             "eigenvalues_re": np.real(ev).tolist(),
             "eigenvalues_im": np.imag(ev).tolist(),
             "residuals": np.asarray(resid).tolist(),
             "n_converged": int(nconv),
             "n_nullspace": int(np.sum(np.abs(evc) <= 1e-8)),
+            # For LSC-preconditioned operators this is the OUTLIER ENVELOPE:
+            # the bulk of spec(A*M^-1) sits at 1 with a small set of large
+            # outliers from the approximate commutator (exact n=12 spectrum:
+            # 80% of eigenvalues within 0.1 of 1, outliers to |ev|~86).
+            # Krylov methods remove isolated outliers in O(1) iterations
+            # each, so PC quality is the BULK fraction plus a
+            # mesh-INDEPENDENT envelope — not a small radius per se.
             "clustering_radius_1": (
                 float(np.max(np.abs(nontrivial - 1.0)))
                 if len(nontrivial) else float("inf")),
         }
+        if use_exact and len(nontrivial):
+            dev = np.abs(nontrivial - 1.0)
+            out["frac_within_0p1_of_1"] = float(np.mean(dev < 0.1))
+            out["frac_within_0p5_of_1"] = float(np.mean(dev < 0.5))
+        return out
 
     report = {
         "n": n,

@@ -163,12 +163,31 @@ def dia_spmv_pallas(A: DIAMatrix, block_rows: int = 128,
 # diagonal: traffic ~2KN vs (K+3)N, i.e. ~50% of the resident kernel's
 # throughput bound — still >500x the scipy CPU baseline at 1024^2.
 # ---------------------------------------------------------------------------
-def _pick_block_rows_streamed(R: int, K: int, block_rows: int = 64) -> int:
+def _streamed_vmem_bytes(TR: int, K: int, U: int) -> int:
+    """Total VMEM working set of the streamed kernel at tile TR: the
+    double-buffered data stripe, the U resident DMA windows, and the
+    double-buffered output stripe."""
+    row = _LANES * 4
+    return (2 * K * TR * row          # data stripe (double-buffered)
+            + U * (TR + 8) * row      # x windows (scratch, resident)
+            + 2 * TR * row)           # out stripe (double-buffered)
+
+
+def _pick_block_rows_streamed(R: int, K: int, block_rows: int = 256,
+                              U: int | None = None,
+                              vmem_budget: int = 13 * 2 ** 20) -> int:
     """TR for the streamed kernel: a divisor of R that keeps every DMA start
     t0 + r8 8-sublane-aligned — i.e. TR % 8 == 0, or TR == R (single block,
-    t0 = 0) — within the ~4 MB stripe budget (advisor r2: _pick_block_rows
-    could return TR % 8 != 0, silently breaking the aligned-start
-    invariant)."""
+    t0 = 0) — within the VMEM budget (advisor r2: TR % 8 != 0 silently
+    breaks the aligned-start invariant).
+
+    Default block_rows raised 64 -> 256 (r5): at TR=64 each program's x
+    windows are ~36 KB DMAs and the kernel is DMA-latency-bound — measured
+    310 GB/s slot rate vs the resident kernel's 675 (KERNELS_r04). Larger
+    tiles amortize the per-program window latency; the budget accounts the
+    full working set so K-heavy matrices still shrink TR instead of blowing
+    VMEM."""
+    U = K if U is None else U
     divs = []
     i = 1
     while i * i <= R:
@@ -176,7 +195,7 @@ def _pick_block_rows_streamed(R: int, K: int, block_rows: int = 64) -> int:
             divs += [i, R // i]
         i += 1
     cands = sorted({d for d in divs if d % 8 == 0 or d == R})
-    budget = [d for d in cands if 2 * K * d * (_LANES * 4) <= 4 * 2 ** 20]
+    budget = [d for d in cands if _streamed_vmem_bytes(d, K, U) <= vmem_budget]
     small = [d for d in budget if d <= max(block_rows, 8)]
     if small:
         return max(small)
@@ -185,7 +204,7 @@ def _pick_block_rows_streamed(R: int, K: int, block_rows: int = 64) -> int:
 
 def dia_spmv_streamed_supported(A: DIAMatrix, dtype=jnp.float32,
                                 vmem_budget: int = 14 * 2 ** 20,
-                                block_rows: int = 64) -> bool:
+                                block_rows: int = 256) -> bool:
     """True when the streamed Pallas path can run A on a real TPU core —
     the budget is N-independent (windows + stripes only)."""
     nrows, ncols = A.shape
@@ -197,15 +216,14 @@ def dia_spmv_streamed_supported(A: DIAMatrix, dtype=jnp.float32,
         return False
     R = nrows // _LANES
     K = len(A.offsets)
-    TR = _pick_block_rows_streamed(R, K, block_rows)
     # unique aligned windows (diagonal clusters share DMAs — see kernel)
     U = len({((int(o) % nrows) // _LANES // 8) * 8 for o in A.offsets})
-    win = U * (TR + 8) * (_LANES * 4)             # DMA windows (resident)
-    stripe = 2 * (K + 1) * TR * (_LANES * 4)      # data + out, dbl-buffered
-    return win + stripe <= vmem_budget - 2 ** 20
+    TR = _pick_block_rows_streamed(R, K, block_rows, U,
+                                   vmem_budget - 2 ** 20)
+    return _streamed_vmem_bytes(TR, K, U) <= vmem_budget - 2 ** 20
 
 
-def dia_spmv_pallas_streamed(A: DIAMatrix, block_rows: int = 64,
+def dia_spmv_pallas_streamed(A: DIAMatrix, block_rows: int = 256,
                              interpret: bool = False) -> Callable:
     """Build `mv(x) -> A @ x` with x streamed from HBM per diagonal.
 
@@ -222,15 +240,11 @@ def dia_spmv_pallas_streamed(A: DIAMatrix, block_rows: int = 64,
     K = len(A.offsets)
     dtype = A.data.dtype
 
-    TR = _pick_block_rows_streamed(R, K, block_rows)
-    n_blocks = R // TR
-
     offs = [int(o) % N for o in A.offsets]
     rs = [o // _LANES for o in offs]
     cs = [o % _LANES for o in offs]
     r8s = [(r // 8) * 8 for r in rs]     # aligned DMA start offsets
     rems = [r - r8 for r, r8 in zip(rs, r8s)]
-    WIN = TR + 8                         # covers rem (<8) + TR + 1 rows
     # diagonals cluster (0, +-1, +-n, field-block offsets): many share the
     # SAME aligned window start. DMA each unique window ONCE — for the
     # multiphase A this is 10 windows for K=35 at n=512 (17 at 1024), i.e.
@@ -238,6 +252,10 @@ def dia_spmv_pallas_streamed(A: DIAMatrix, block_rows: int = 64,
     uniq = sorted(set(r8s))
     U = len(uniq)
     uidx = [uniq.index(r8) for r8 in r8s]
+
+    TR = _pick_block_rows_streamed(R, K, block_rows, U)
+    n_blocks = R // TR
+    WIN = TR + 8                         # covers rem (<8) + TR + 1 rows
 
     data3 = A.data.reshape(K, R, _LANES)
 

@@ -31,6 +31,96 @@ def halo_width(op: StencilOperator) -> int:
     return H
 
 
+def halo_width_cols(op: StencilOperator) -> int:
+    """Max |column offset| over all stencil terms."""
+    W = 0
+    for offmap in op.terms.values():
+        for (_dr, dc) in offmap.keys():
+            W = max(W, abs(dc))
+    return W
+
+
+def halo_stencil_apply_2d(op: StencilOperator, mesh: Mesh,
+                          axes: Sequence[str] = ("x", "y")):
+    """2-D grid partition: apply(x_dict) -> y_dict with BOTH-axes halo
+    exchange (SURVEY.md section 7 step 6 "2-D mesh later"; VERDICT r4
+    missing #5). Each device owns an (n/Pr, n/Pc) patch of every field.
+
+    Why it exists: a 1-D row band thins to <= 32 rows at 64+ devices on a
+    2048-row grid and the halo fraction grows as P/n; the 2-D partition's
+    halo fraction scales as sqrt-of-that, keeping the surface-to-volume
+    ratio bounded at pod scale.
+
+    Corner handling without diagonal transfers: exchange row halos first,
+    then exchange the COLUMN halos of the row-EXTENDED block — the corner
+    patches ride the second transfer (the standard two-phase scheme; each
+    direction is one ring `ppermute` with all fields batched). Periodic
+    wraparound falls out of the ring permutes; a single-device axis
+    degenerates to an identity permute, which is exactly the periodic
+    self-wrap.
+    """
+    axr, axc = axes
+    H = halo_width(op)
+    W = halo_width_cols(op)
+    ndr, ndc = mesh.shape[axr], mesh.shape[axc]
+    nr, nc = op.shape_grid
+    assert nr % ndr == 0 and nc % ndc == 0, (op.shape_grid, ndr, ndc)
+    nl, ml = nr // ndr, nc // ndc
+    assert H <= nl and W <= ml, ((H, nl), (W, ml))
+
+    fwd_r = [(d, (d + 1) % ndr) for d in range(ndr)]
+    bwd_r = [(d, (d - 1) % ndr) for d in range(ndr)]
+    fwd_c = [(d, (d + 1) % ndc) for d in range(ndc)]
+    bwd_c = [(d, (d - 1) % ndc) for d in range(ndc)]
+
+    spec = P(axr, axc)
+
+    def _local_apply(op_local: StencilOperator, x: Mapping[str, jax.Array]):
+        in_fields = op_local.in_fields
+        stacked = jnp.stack([x[f] for f in in_fields])     # (F, nl, ml)
+        dtype = stacked.dtype
+
+        ext = stacked
+        if H:
+            top = jax.lax.ppermute(ext[:, -H:, :], axr, fwd_r)
+            bot = jax.lax.ppermute(ext[:, :H, :], axr, bwd_r)
+            ext = jnp.concatenate([top, ext, bot], axis=1)
+        if W:
+            # exchanging strips of the row-extended block carries the
+            # corner halos — no diagonal permute needed
+            left = jax.lax.ppermute(ext[:, :, -W:], axc, fwd_c)
+            right = jax.lax.ppermute(ext[:, :, :W], axc, bwd_c)
+            ext = jnp.concatenate([left, ext, right], axis=2)
+
+        xe = {f: ext[i] for i, f in enumerate(in_fields)}
+        out = {}
+        for of in op_local.out_fields:
+            acc = None
+            for inf in in_fields:
+                offmap = op_local.terms.get((of, inf))
+                if not offmap:
+                    continue
+                for (dr, dc), coef in offmap.items():
+                    sl = jax.lax.slice(
+                        xe[inf], (H + dr, W + dc),
+                        (H + dr + nl, W + dc + ml))
+                    contrib = coef * sl
+                    acc = contrib if acc is None else acc + contrib
+            out[of] = acc if acc is not None else jnp.zeros((nl, ml), dtype)
+        return out
+
+    shmapped = jax.shard_map(
+        _local_apply, mesh=mesh,
+        in_specs=(spec, spec),
+        out_specs=spec,
+    )
+
+    def apply(x: Mapping[str, jax.Array]) -> dict:
+        return shmapped(op, x)
+
+    return apply
+
+
 def halo_stencil_apply(op: StencilOperator, mesh: Mesh, axis: str = "x",
                        overlap: bool = True):
     """Build a shard_map'd apply(x_dict) -> y_dict with explicit halo

@@ -248,3 +248,109 @@ def test_pallas_sharded_solve_iteration_parity(mesh8):
     # the reported relres is recomputed; f32 kernel roundoff can land it a
     # hair above the in-loop estimate that triggered convergence
     assert float(r_p.relres) < 2e-6
+
+
+def test_sharded_hybrid_pc_reaches_tight_tol(mesh8):
+    """The sharded mixed-precision (hybrid) configuration (VERDICT r4 item
+    #2): f64 outer FGMRES + f64 LSC glue + f32 inner MG solves converges to
+    tol 1e-10 on the 8-device mesh with discretization-level solution error
+    — the path the 2048^2 SHARDED_r05 artifact runs at scale."""
+    n = 32
+    op = make_multiphase_operator(n, c=1, d=-1, xi=1.0, eta_n=100.0,
+                                  eta_s=1.0, dtype=jnp.float64)
+    op32 = make_multiphase_operator(n, c=1, d=-1, xi=1.0, eta_n=100.0,
+                                    eta_s=1.0, dtype=jnp.float32)
+    prob = mms.variable_thn_problem(1, -1, 1.0, 100.0, 1.0)
+    u, b = mms.fill_sol_and_rhs(op.grid, prob)
+
+    sop = sh.shard_multiphase(op, mesh8)
+    sop32 = sh.shard_multiphase(op32, mesh8)
+    M = sh.make_sharded_lsc_pc_mixed(sop, sop32, inner_tol=1e-4,
+                                     inner_iters=40, setup_op32=op32)
+    res = sh.sharded_solve(sop, b, mesh8, tol=1e-10, maxiter=40, pc=M)
+    assert bool(res.converged), float(res.relres)
+    assert float(res.relres) < 1e-9
+    from mpbp_tpu.utils.norms import norms_report
+
+    err = norms_report(sh.unstack_state(res.x), u, op.grid.dx, op.grid.dy)
+    # n=32 discretization level is 5.84e-3 (BASELINE.md)
+    assert err["l2"] < 8e-3, err
+
+
+def test_sharded_block_ilu_pc_converges(mesh8):
+    """BASELINE configs[3] inner-solve family: the LSC PC with block-Jacobi
+    ILU(0) tri-solve-preconditioned inner GMRES converges the sharded solve
+    (slower than MG — see make_sharded_lsc_pc_ilu's head-to-head verdict)."""
+    n = 32
+    op = make_multiphase_operator(n, c=1, d=-1, xi=1.0, eta_n=100.0,
+                                  eta_s=1.0, dtype=jnp.float64)
+    prob = mms.variable_thn_problem(1, -1, 1.0, 100.0, 1.0)
+    _, b = mms.fill_sol_and_rhs(op.grid, prob)
+
+    sop = sh.shard_multiphase(op, mesh8)
+    M = sh.make_sharded_lsc_pc_ilu(sop, mesh8, inner_tol=1e-4,
+                                   inner_iters=40)
+    res = sh.sharded_solve(sop, b, mesh8, tol=1e-6, maxiter=150, pc=M)
+    assert bool(res.converged), float(res.relres)
+
+
+def test_halo_2d_apply_matches_roll_apply():
+    """2-D grid partition (VERDICT r4 missing #5): both-axes halo exchange
+    with corner handling reproduces the periodic stencil apply exactly on a
+    2x4 device mesh."""
+    from jax.sharding import Mesh
+
+    op = make_multiphase_operator(16, c=1, d=-1, xi=1.0, eta_n=100.0,
+                                  eta_s=1.0)
+    prob = mms.variable_thn_problem(1, -1, 1.0, 100.0, 1.0)
+    u, _ = mms.fill_sol_and_rhs(op.grid, prob)
+    expect = op.A.apply(u)
+
+    devs = np.array(jax.devices()[:8]).reshape(2, 4)
+    mesh = Mesh(devs, axis_names=("x", "y"))
+    apply2d = halo_mod.halo_stencil_apply_2d(op.A, mesh, axes=("x", "y"))
+    got = jax.jit(apply2d)(u)
+    for f in ALL_FIELDS:
+        # rtol at fused-reassociation level: same sums, shard-local fusion
+        # order (measured max 9e-12 abs on O(3e3) momentum entries = 3e-15
+        # relative)
+        np.testing.assert_allclose(np.asarray(got[f]), np.asarray(expect[f]),
+                                   rtol=1e-11, atol=1e-10)
+
+
+def test_halo_2d_solve_iteration_invariance():
+    """FGMRES driven by the 2-D-partitioned matvec walks the identical
+    Krylov recurrence: iteration count and iterates match the unsharded
+    solve on a 2x4 mesh."""
+    from jax.sharding import Mesh
+
+    op = make_multiphase_operator(16, c=1, d=-1, xi=1.0, eta_n=1.0,
+                                  eta_s=1.0)
+    prob = mms.variable_thn_problem(1, -1, 1.0, 1.0, 1.0)
+    _, b = mms.fill_sol_and_rhs(op.grid, prob)
+    bv = sh.stack_state(b)
+
+    mv_ref = sh.stacked_matvec(op.A)
+    r_ref = krylov.fgmres(mv_ref, bv, tol=1e-6, maxiter=40)
+
+    devs = np.array(jax.devices()[:8]).reshape(2, 4)
+    mesh = Mesh(devs, axis_names=("x", "y"))
+    apply2d = halo_mod.halo_stencil_apply_2d(op.A, mesh, axes=("x", "y"))
+
+    def mv2d(v):
+        y = apply2d({f: v[i] for i, f in enumerate(ALL_FIELDS)})
+        return jnp.stack([y[f] for f in ALL_FIELDS])
+
+    bsh = jax.device_put(bv, NamedSharding(mesh, P(None, "x", "y")))
+    r2d = jax.jit(lambda bb: krylov.fgmres(mv2d, bb, tol=1e-6,
+                                           maxiter=40))(bsh)
+    assert int(r2d.iters) == int(r_ref.iters), (int(r2d.iters),
+                                                int(r_ref.iters))
+    assert bool(r2d.converged) and bool(r_ref.converged)
+    # iterates agree to the solve tolerance in NORM (reassociation-level
+    # matvec differences walk through the recurrence; elementwise equality
+    # on near-zero entries is not the invariant — iteration count,
+    # convergence, and norm-level solution agreement are)
+    num = float(jnp.linalg.norm(r2d.x - r_ref.x))
+    den = float(jnp.linalg.norm(r_ref.x))
+    assert num / den < 1e-5, num / den
