@@ -40,6 +40,17 @@ def main(argv=None):
                               "||b - A x_k|| every iteration (the reference "
                               "fgmres callback, reference solve.py:161-170); "
                               "costs one extra matvec per iteration")
+    p_solve.add_argument("--sharded", action="store_true",
+                         help="row-shard the solve over all visible devices "
+                              "(drivers.solve_multiphase_sharded; "
+                              "BASELINE configs[3]-[4])")
+    p_solve.add_argument("--sharded-pc", default="mg",
+                         choices=["mg", "cg", "block_ilu0"],
+                         help="sharded LSC inner-solve family (block_ilu0 = "
+                              "block-Jacobi ILU(0) tri-solves)")
+    p_solve.add_argument("--restart", type=int, default=None,
+                         help="restarted outer cycles (bounds the Krylov "
+                              "basis memory; sharded + hybrid modes)")
 
     p_apply = sub.add_parser("apply", help="operator-apply MMS check")
     _add_common(p_apply)
@@ -87,6 +98,27 @@ def main(argv=None):
         dtype = jnp.float64 if sol.dtype == "float64" else jnp.float32
         if sol.precision != "full":
             jax.config.update("jax_enable_x64", True)
+        if args.sharded:
+            jax.config.update("jax_enable_x64", True)
+            from mpbp_tpu.drivers import solve_multiphase_sharded
+
+            with Timer() as t_all:
+                rep = solve_multiphase_sharded(
+                    n=prob.n, c=prob.c, d=prob.d, xi=prob.xi,
+                    eta_n=prob.eta_n, eta_s=prob.eta_s, problem=prob.problem,
+                    pc=args.sharded_pc, tol=sol.tol, maxiter=sol.maxiter,
+                    precision=("hybrid" if sol.precision == "hybrid"
+                               else "f64"),
+                    restart=args.restart, inner_tol=sol.inner_tol,
+                    inner_iters=sol.inner_iters)
+            print(f"solve (sharded over {rep.params['devices']} devices): "
+                  f"n={rep.n} pc={rep.pc} iters={rep.iters} "
+                  f"relres={rep.relres:.3e} converged={rep.converged}")
+            print(f"error norms vs MMS exact: "
+                  f"L1={rep.error_norms['l1']:.6e} "
+                  f"L2={rep.error_norms['l2']:.6e} "
+                  f"max={rep.error_norms['max']:.6e}")
+            return 0 if rep.converged else 2
         with Timer() as t_all:
             rep = solve_multiphase(
                 n=prob.n, c=prob.c, d=prob.d, xi=prob.xi, eta_n=prob.eta_n,

@@ -394,6 +394,78 @@ def solve_multiphase(n: int = 16, c: float = 1.0, d: float = -1.0,
     )
 
 
+def solve_multiphase_sharded(n: int = 256, c: float = 1.0, d: float = -1.0,
+                             xi: float = 1.0, eta_n: float = 1.0,
+                             eta_s: float = 1.0, pc: str = "mg",
+                             tol: float = 1e-8, maxiter: int = 100,
+                             precision: str = "f64",
+                             restart: int | None = None,
+                             inner_tol: float = 1e-4, inner_iters: int = 40,
+                             n_devices: int | None = None,
+                             problem: str = "variable") -> SolveReport:
+    """End-to-end MMS solve on the row-sharded device mesh — the library
+    entry point behind `python -m mpbp_tpu solve --sharded` (the multi-chip
+    counterpart of solve_multiphase; BASELINE configs[3]-[4]).
+
+    pc: 'mg' | 'cg' (make_sharded_lsc_pc pressure inner) or 'block_ilu0'
+        (block-Jacobi ILU(0) tri-solve inners, make_sharded_lsc_pc_ilu);
+    precision: 'f64' (everything in f64) or 'hybrid' (f64 outer FGMRES +
+        f64 LSC glue with f32 inner MG solves, make_sharded_lsc_pc_mixed);
+    n_devices: mesh size (default: all visible devices);
+    restart: restarted outer cycles (bounds the f64 basis memory — required
+        at 2048^2).
+    """
+    from mpbp_tpu.models.fields import constant_thn
+    from mpbp_tpu.parallel import sharding as sh
+
+    thn_fn_kwargs = {}
+    if problem == "constant":
+        thn_fn_kwargs["thn_fn"] = constant_thn(0.75)
+        prob = mms.constant_thn_problem(c, d, xi, eta_n, eta_s)
+    else:
+        prob = mms.variable_thn_problem(c, d, xi, eta_n, eta_s)
+
+    op = make_multiphase_operator(n, c=c, d=d, xi=xi, eta_n=eta_n,
+                                  eta_s=eta_s, dtype=jnp.float64,
+                                  **thn_fn_kwargs)
+    u_exact, b = mms.fill_sol_and_rhs(op.grid, prob)
+
+    mesh = sh.make_mesh(n_devices)
+    sop = sh.shard_multiphase(op, mesh)
+    if precision == "hybrid":
+        op32 = make_multiphase_operator(n, c=c, d=d, xi=xi, eta_n=eta_n,
+                                        eta_s=eta_s, dtype=jnp.float32,
+                                        **thn_fn_kwargs)
+        M = sh.make_sharded_lsc_pc_mixed(sop, sh.shard_multiphase(op32, mesh),
+                                         inner_tol=inner_tol,
+                                         inner_iters=inner_iters,
+                                         setup_op32=op32)
+    elif pc == "block_ilu0":
+        M = sh.make_sharded_lsc_pc_ilu(sop, mesh, inner_tol=inner_tol,
+                                       inner_iters=inner_iters)
+    else:
+        M = sh.make_sharded_lsc_pc(sop, inner_tol=inner_tol,
+                                   inner_iters=inner_iters, p_solver=pc,
+                                   setup_op=op)
+
+    res = sh.sharded_solve(sop, b, mesh, tol=tol, maxiter=maxiter, pc=M,
+                           restart=restart)
+    x_state = sh.unstack_state(res.x)
+    err = norms_report(x_state, u_exact, op.grid.dx, op.grid.dy)
+    hist = np.asarray(res.res_history)
+    hist = hist[~np.isnan(hist)]
+    return SolveReport(
+        n=n, pc=f"sharded_{pc}_{precision}", iters=int(res.iters),
+        relres=float(res.relres), converged=bool(res.converged),
+        res_history=hist, error_norms=err, x=res.x,
+        params=dict(c=c, d=d, xi=xi, eta_n=eta_n, eta_s=eta_s, tol=tol,
+                    maxiter=maxiter, problem=problem,
+                    devices=int(mesh.devices.size),
+                    **({"restart": restart} if restart else {})),
+        status=classify_status(bool(res.converged), hist),
+    )
+
+
 def spectrum_report(n: int = 16, c: float = 1.0, d: float = -1.0,
                     xi: float = 1.0, eta_n: float = 1.0, eta_s: float = 1.0,
                     pcs: Sequence[str] = ("exact_schur", "lsc_ilut"),

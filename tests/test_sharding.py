@@ -354,3 +354,15 @@ def test_halo_2d_solve_iteration_invariance():
     num = float(jnp.linalg.norm(r2d.x - r_ref.x))
     den = float(jnp.linalg.norm(r_ref.x))
     assert num / den < 1e-5, num / den
+
+
+def test_solve_multiphase_sharded_driver(mesh8):
+    """Library entry point behind `python -m mpbp_tpu solve --sharded`:
+    end-to-end MMS solve on the mesh with discretization-level error."""
+    from mpbp_tpu.drivers import solve_multiphase_sharded
+
+    rep = solve_multiphase_sharded(n=16, eta_n=1.0, eta_s=1.0, pc="mg",
+                                   tol=1e-8, maxiter=40)
+    assert rep.converged, rep.relres
+    assert rep.params["devices"] == 8
+    assert rep.error_norms["l2"] < 3e-2, rep.error_norms
