@@ -71,6 +71,8 @@ def solve_once(n: int, n_devices: int, pc_kind: str, tol: float,
     log(f"n={n} devices={n_devices}: assembly {t_asm:.1f}s "
         f"(N={5*n*n/1e6:.2f}M unknowns)")
 
+    assert not (precision == "hybrid" and pc_kind == "block_ilu0"), (
+        "hybrid precision builds the MG mixed PC; no block_ilu0 variant")
     mesh = sh.make_mesh(n_devices)
     sop = sh.shard_multiphase(op, mesh)
     if precision == "hybrid":
@@ -86,7 +88,8 @@ def solve_once(n: int, n_devices: int, pc_kind: str, tol: float,
     elif pc_kind == "block_ilu0":
         # BASELINE configs[3]: LSC with block-Jacobi ILU(0) tri-solve inner
         # solves, one factor per device band (parallel/block_ilu.py)
-        M = sh.make_sharded_lsc_pc_ilu(sop, mesh)
+        M = sh.make_sharded_lsc_pc_ilu(sop, mesh, inner_tol=inner_tol,
+                                       inner_iters=inner_iters)
     else:
         # stacked-native sharded LSC PC (a flat-vector make_preconditioner
         # PC cannot be applied to the stacked solver vectors without an

@@ -192,6 +192,10 @@ def main(argv=None):
             except Exception as e:  # pragma: no cover - toolchain-dependent
                 log(f"streamed TR={br} failed: {type(e).__name__}: "
                     f"{str(e)[:150]}")
+        if best is None:
+            record("dia_streamed_spmv", ns, Ns, nnz_s, float("nan"), 1.0,
+                   {"failed": "all TR candidates failed (see stderr)"})
+            return
         dt, br, perr = best
         log(f"streamed DIA: N={Ns}, K={len(dia_s.offsets)}, "
             f"best TR={br}, parity {perr:.2e}")

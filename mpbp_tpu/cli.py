@@ -102,6 +102,11 @@ def main(argv=None):
             jax.config.update("jax_enable_x64", True)
             from mpbp_tpu.drivers import solve_multiphase_sharded
 
+            if sol.precision == "ir":
+                parser.error("--sharded supports precision full (f64) or "
+                             "hybrid; 'ir' has no sharded configuration "
+                             "(use --precision hybrid — same f32-dominant "
+                             "inner work, f64-certified outer)")
             with Timer() as t_all:
                 rep = solve_multiphase_sharded(
                     n=prob.n, c=prob.c, d=prob.d, xi=prob.xi,
@@ -127,7 +132,7 @@ def main(argv=None):
                 ilut_fill=sol.ilut_fill, ilut_tau=sol.ilut_tau,
                 ilut_refine=sol.ilut_refine, inner_tol=sol.inner_tol,
                 inner_iters=sol.inner_iters, precision=sol.precision,
-                fused_pallas=sol.fused_pallas,
+                fused_pallas=sol.fused_pallas, restart=args.restart,
                 true_res_monitor=args.true_res_monitor)
         nnz = 11 * 5 * prob.n * prob.n  # stencil-tap estimate
         m = collect_solve_metrics(rep, nnz, 0.0, t_all.elapsed)

@@ -277,7 +277,8 @@ def make_preconditioner_mixed(op64: MultiphaseOperator,
 
 
 def _mixed_precision_solve(op64, op32, b_vec, pc: str, tol: float,
-                           maxiter: int, precision: str, pc_kwargs: dict):
+                           maxiter: int, precision: str, pc_kwargs: dict,
+                           restart: int | None = None):
     """The 'ir'/'hybrid' solve bodies behind solve_multiphase(precision=...),
     returning a KrylovResult (see benchmarks/solve_tpu.py for the on-chip
     characterization of both modes)."""
@@ -286,13 +287,14 @@ def _mixed_precision_solve(op64, op32, b_vec, pc: str, tol: float,
     if precision == "hybrid":
         M = make_preconditioner_mixed(op64, op32, pc, **pc_kwargs)
         return krylov.fgmres(a_matvec(op64), b_vec, tol=tol,
-                             maxiter=maxiter, M=M)
+                             maxiter=maxiter, M=M, restart=restart)
 
     M32 = make_preconditioner(op32, pc, dtype=jnp.float32, **pc_kwargs)
     res = fgmres_ir(a_matvec(op64), a_matvec(op32), b_vec, tol=tol,
                     max_outer=max(maxiter // 25, 4),
                     inner_tol=1e-6, inner_maxiter=min(maxiter, 150),
-                    M32=M32, scale=block_scales(op64))
+                    M32=M32, scale=block_scales(op64),
+                    inner_restart=restart)
     hist = jnp.asarray(np.concatenate(
         [np.asarray(res.history), [np.nan]]))
     return krylov.KrylovResult(
@@ -306,7 +308,7 @@ def solve_multiphase(n: int = 16, c: float = 1.0, d: float = -1.0,
                      pc: str = "lsc_ilut", tol: float = 1e-8,
                      maxiter: int = 150, problem: str = "variable",
                      dtype=jnp.float64, true_res_monitor: bool = False,
-                     precision: str = "full",
+                     precision: str = "full", restart: int | None = None,
                      **pc_kwargs) -> SolveReport:
     """End-to-end MMS solve, mirroring reference solve.py main +
     solve_with_* (defaults n=16, c=1, d=-1, xi=1, reference solve.py:290-297).
@@ -325,6 +327,10 @@ def solve_multiphase(n: int = 16, c: float = 1.0, d: float = -1.0,
                  (solvers/mixed.fgmres_ir with block equilibration);
       'hybrid' — one f64 FGMRES whose LSC PC runs its inner solves in f32
                  with an f64 refinement pass each (make_preconditioner_mixed).
+
+    `restart` bounds the Krylov basis memory: restarted outer cycles for
+    'full'/'hybrid', the inner f32 cycle length for 'ir' (required at
+    1024^2+ hybrid — the unrestarted f64 V+Z basis exceeds HBM).
     """
     from mpbp_tpu.models.fields import constant_thn
 
@@ -353,7 +359,7 @@ def solve_multiphase(n: int = 16, c: float = 1.0, d: float = -1.0,
                                         eta_s=eta_s, dtype=jnp.float32,
                                         **thn_fn_kwargs)
         result = _mixed_precision_solve(op, op32, b_vec, pc, tol, maxiter,
-                                        precision, pc_kwargs)
+                                        precision, pc_kwargs, restart)
     elif true_res_monitor:
         M = make_preconditioner(op, pc, dtype=dtype, **pc_kwargs)
         bnorm = float(jnp.linalg.norm(b_vec))
@@ -369,7 +375,8 @@ def solve_multiphase(n: int = 16, c: float = 1.0, d: float = -1.0,
                 break
     else:
         M = make_preconditioner(op, pc, dtype=dtype, **pc_kwargs)
-        result = krylov.fgmres(mv_hot, b_vec, tol=tol, maxiter=maxiter, M=M)
+        result = krylov.fgmres(mv_hot, b_vec, tol=tol, maxiter=maxiter, M=M,
+                               restart=restart)
 
     err = norms_report(result.x, u_vec, op.grid.dx, op.grid.dy)
     hist = np.asarray(result.res_history)
@@ -425,6 +432,11 @@ def solve_multiphase_sharded(n: int = 256, c: float = 1.0, d: float = -1.0,
     else:
         prob = mms.variable_thn_problem(c, d, xi, eta_n, eta_s)
 
+    if precision == "hybrid" and pc == "block_ilu0":
+        raise ValueError(
+            "precision='hybrid' builds the MG mixed PC — it has no "
+            "block_ilu0 variant; use precision='f64' with pc='block_ilu0' "
+            "or precision='hybrid' with pc='mg'")
     op = make_multiphase_operator(n, c=c, d=d, xi=xi, eta_n=eta_n,
                                   eta_s=eta_s, dtype=jnp.float64,
                                   **thn_fn_kwargs)

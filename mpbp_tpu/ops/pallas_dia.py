@@ -163,14 +163,43 @@ def dia_spmv_pallas(A: DIAMatrix, block_rows: int = 128,
 # diagonal: traffic ~2KN vs (K+3)N, i.e. ~50% of the resident kernel's
 # throughput bound — still >500x the scipy CPU baseline at 1024^2.
 # ---------------------------------------------------------------------------
+# Extra rows a streamed-kernel DMA window absorbs so that a CLUSTER of
+# nearby diagonals (offsets within _MERGE rows) shares ONE window. The
+# multiphase A's 35 diagonals cluster around its field-block offsets
+# (0, +-1, +-n row-groups per block pair), so merging cuts the unique
+# window count U — and with it the kernel's structural x-re-read traffic
+# (K + U + 1 plane-reads per apply) — from 17 to ~7 at n=1024.
+_MERGE = 32
+
+
+def _window_clusters(offs_flat, N: int):
+    """Cluster the diagonals' aligned window starts: returns
+    (bases, uidx, rems) with bases the 8-aligned cluster starts, uidx[k]
+    the cluster of diagonal k, and rems[k] = r_k - base in [0, _MERGE)."""
+    rs = [(o % N) // _LANES for o in offs_flat]
+    r8s = [(r // 8) * 8 for r in rs]
+    bases = []
+    for r8 in sorted(set(r8s)):
+        if not bases or r8 - bases[-1] > _MERGE - 8:
+            bases.append(r8)
+    uidx, rems = [], []
+    for r in rs:
+        r8 = (r // 8) * 8
+        base = max(b for b in bases if b <= r8)
+        uidx.append(bases.index(base))
+        rems.append(r - base)
+    assert all(0 <= rem < _MERGE for rem in rems), rems
+    return bases, uidx, rems
+
+
 def _streamed_vmem_bytes(TR: int, K: int, U: int) -> int:
     """Total VMEM working set of the streamed kernel at tile TR: the
     double-buffered data stripe, the U resident DMA windows, and the
     double-buffered output stripe."""
     row = _LANES * 4
-    return (2 * K * TR * row          # data stripe (double-buffered)
-            + U * (TR + 8) * row      # x windows (scratch, resident)
-            + 2 * TR * row)           # out stripe (double-buffered)
+    return (2 * K * TR * row              # data stripe (double-buffered)
+            + U * (TR + _MERGE) * row     # x windows (scratch, resident)
+            + 2 * TR * row)               # out stripe (double-buffered)
 
 
 def _pick_block_rows_streamed(R: int, K: int, block_rows: int = 256,
@@ -216,8 +245,9 @@ def dia_spmv_streamed_supported(A: DIAMatrix, dtype=jnp.float32,
         return False
     R = nrows // _LANES
     K = len(A.offsets)
-    # unique aligned windows (diagonal clusters share DMAs — see kernel)
-    U = len({((int(o) % nrows) // _LANES // 8) * 8 for o in A.offsets})
+    # unique CLUSTERED windows (nearby diagonals share DMAs — see kernel)
+    bases, _u, _r = _window_clusters([int(o) for o in A.offsets], nrows)
+    U = len(bases)
     TR = _pick_block_rows_streamed(R, K, block_rows, U,
                                    vmem_budget - 2 ** 20)
     return _streamed_vmem_bytes(TR, K, U) <= vmem_budget - 2 ** 20
@@ -241,21 +271,19 @@ def dia_spmv_pallas_streamed(A: DIAMatrix, block_rows: int = 256,
     dtype = A.data.dtype
 
     offs = [int(o) % N for o in A.offsets]
-    rs = [o // _LANES for o in offs]
     cs = [o % _LANES for o in offs]
-    r8s = [(r // 8) * 8 for r in rs]     # aligned DMA start offsets
-    rems = [r - r8 for r, r8 in zip(rs, r8s)]
-    # diagonals cluster (0, +-1, +-n, field-block offsets): many share the
-    # SAME aligned window start. DMA each unique window ONCE — for the
-    # multiphase A this is 10 windows for K=35 at n=512 (17 at 1024), i.e.
-    # x-traffic (K+U)N instead of 2KN, a ~1.7x bound lift (r4)
-    uniq = sorted(set(r8s))
+    # diagonals cluster (0, +-1, +-n, field-block offsets): all diagonals
+    # within a _MERGE-row neighborhood share ONE window DMA. For the
+    # multiphase A this is 7 clustered windows for K=35 at n=1024 (was 17
+    # unmerged 8-aligned windows in r4), i.e. x-traffic (K+U+1)N instead of
+    # 2KN — the kernel's structural bound is HBM_BW * K/(K+U+1) slot rate
+    # (541 GB/s unmerged, 636 merged at K=35; see KERNELS_r05.json)
+    uniq, uidx, rems = _window_clusters(offs, N)
     U = len(uniq)
-    uidx = [uniq.index(r8) for r8 in r8s]
 
     TR = _pick_block_rows_streamed(R, K, block_rows, U)
     n_blocks = R // TR
-    WIN = TR + 8                         # covers rem (<8) + TR + 1 rows
+    WIN = TR + _MERGE                    # covers rem (<_MERGE) + TR + 1 rows
 
     data3 = A.data.reshape(K, R, _LANES)
 
@@ -317,8 +345,10 @@ def dia_spmv_pallas_streamed(A: DIAMatrix, block_rows: int = 256,
 
     def mv(x: jax.Array) -> jax.Array:
         xr = x.reshape(R, _LANES)
-        # doubled + 8 pad rows so every aligned window is in bounds
-        x2 = jnp.concatenate([xr, xr, xr[:8]], axis=0)
+        # doubled + _MERGE pad rows so every clustered window is in bounds
+        # (tile covers the small-R case where one extra copy is < _MERGE)
+        reps = 2 + -(-_MERGE // R)
+        x2 = jnp.tile(xr, (reps, 1))[: 2 * R + _MERGE]
         return call(x2, data3).reshape(N)
 
     return mv

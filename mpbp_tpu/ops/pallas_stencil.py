@@ -370,7 +370,9 @@ def build_inkernel_halo_call(n: int, dtype, nf: int, math: Callable,
     itemsize = jnp.dtype(dtype).itemsize
     planes = 6 * nf + 7        # anchor: nf=5 -> 37 effective (TR, n) planes
     vmem_est = planes * TR * n * itemsize + (2 ** 20)
-    if vmem_est > 15.5 * 2 ** 20:
+    if vmem_est > 15.5 * 2 ** 20 and not interpret:
+        # interpret mode has no Mosaic scoped-VMEM limit — only gate real
+        # TPU lowering (CPU parity/debug runs of large tiles stay legal)
         raise ValueError(
             f"in-kernel-halo tile block_rows={TR} at n={n} (nf={nf}) "
             f"predicts ~{vmem_est / 2**20:.1f}M scoped VMEM > 16M Mosaic "

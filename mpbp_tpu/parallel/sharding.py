@@ -119,6 +119,27 @@ def stacked_matvec(op: StencilOperator,
     return mv
 
 
+def _lsc_apply(sop: MultiphaseOperator, GtFG, f_inner: Callable,
+               p_inner: Callable) -> Callable:
+    """The LSC formula on STACKED (5, n, n) vectors (reference
+    solve.py:257-277), shared by the f64 / mixed / block-ILU sharded PC
+    assemblies — one body so a formula fix lands everywhere."""
+    vel = sop.F.out_fields
+
+    def pc(v):
+        vu, vp = v[:4], v[4]
+        u_hat = f_inner(vu)
+        rp = sop.D.apply(unstack_state(u_hat, vel))["p"] + vp
+        x_a = p_inner(rp)
+        x_b = GtFG.apply({"p": x_a})["p"]
+        x_p = p_inner(x_b)
+        gxp = sop.G.apply({"p": x_p})
+        u = u_hat - f_inner(jnp.stack([gxp[f] for f in vel]))
+        return jnp.concatenate([u, x_p[None]])
+
+    return pc
+
+
 def make_sharded_lsc_pc(sop: MultiphaseOperator,
                         inner_tol: float = 1e-4, inner_iters: int = 40,
                         p_solver: str = "mg", mg_cycles: int = 3,
@@ -180,18 +201,7 @@ def make_sharded_lsc_pc(sop: MultiphaseOperator,
         return krylov.gmres(f_mv, v4, tol=inner_tol, maxiter=f_iters,
                             M=f_M).x
 
-    def pc(v):
-        vu, vp = v[:4], v[4]
-        u_hat = f_inner(vu)
-        rp = sop.D.apply(unstack_state(u_hat, vel))["p"] + vp
-        x_a = p_inner(rp)
-        x_b = GtFG.apply({"p": x_a})["p"]
-        x_p = p_inner(x_b)
-        gxp = sop.G.apply({"p": x_p})
-        u = u_hat - f_inner(jnp.stack([gxp[f] for f in vel]))
-        return jnp.concatenate([u, x_p[None]])
-
-    return pc
+    return _lsc_apply(sop, GtFG, f_inner, p_inner)
 
 
 def make_sharded_lsc_pc_mixed(sop64: MultiphaseOperator,
@@ -226,27 +236,22 @@ def make_sharded_lsc_pc_mixed(sop64: MultiphaseOperator,
     from mpbp_tpu.solvers import gmres as krylov
     from mpbp_tpu.solvers.multigrid import (MGPressureSolver,
                                             MGVelocitySolver)
-    from mpbp_tpu.solvers.preconditioners import lsc_products
+    from mpbp_tpu.solvers.preconditioners import (lsc_products,
+                                                  scaled32_apply)
 
     GtG64, GtFG64 = lsc_products(sop64)
     f_mv64 = make_f_apply_stacked(sop64)
     f_mv32 = make_f_apply_stacked(sop32)
-    vel = sop64.F.out_fields
     mg_src = setup_op32 if setup_op32 is not None else sop32
     p_mg32 = MGPressureSolver.of(mg_src, cycles=mg_cycles)
     f_M32 = MGVelocitySolver.of(mg_src, cycles=1)
     f_iters = max(inner_iters // 4, 8)
-    f32, f64 = jnp.float32, jnp.float64
 
     def f_inner32(v4):
         return krylov.gmres(f_mv32, v4, tol=inner_tol, maxiter=f_iters,
                             M=f_M32).x
 
-    def scaled32(inner32, v64):
-        # scale-normalize before the cast (Krylov solves are scale-
-        # invariant; the glue-cancellation output magnitude is not)
-        s = jnp.maximum(jnp.max(jnp.abs(v64)), 1e-300)
-        return inner32((v64 / s).astype(f32)).astype(f64) * s
+    scaled32 = scaled32_apply
 
     def gtg_mv64(p):
         return GtG64.apply({"p": p})["p"]
@@ -259,18 +264,7 @@ def make_sharded_lsc_pc_mixed(sop64: MultiphaseOperator,
         x = scaled32(p_mg32, rp)
         return x + scaled32(p_mg32, rp - gtg_mv64(x))
 
-    def pc(v):
-        vu, vp = v[:4], v[4]
-        u_hat = f_inner(vu)
-        rp = sop64.D.apply(unstack_state(u_hat, vel))["p"] + vp
-        x_a = p_inner(rp)
-        x_b = GtFG64.apply({"p": x_a})["p"]
-        x_p = p_inner(x_b)
-        gxp = sop64.G.apply({"p": x_p})
-        u = u_hat - f_inner(jnp.stack([gxp[f] for f in vel]))
-        return jnp.concatenate([u, x_p[None]])
-
-    return pc
+    return _lsc_apply(sop64, GtFG64, f_inner, p_inner)
 
 
 def make_sharded_lsc_pc_ilu(sop: MultiphaseOperator, mesh: Mesh,
@@ -309,7 +303,6 @@ def make_sharded_lsc_pc_ilu(sop: MultiphaseOperator, mesh: Mesh,
     f_ilu = BlockJacobiILU.of(sop.F, mesh, axis, dtype=dtype)
     p_ilu = BlockJacobiILU.of(GtG, mesh, axis, dtype=dtype)
     f_mv = make_f_apply_stacked(sop)
-    vel = sop.F.out_fields
 
     def gtg_mv(p):
         return GtG.apply({"p": p})["p"]
@@ -328,18 +321,7 @@ def make_sharded_lsc_pc_ilu(sop: MultiphaseOperator, mesh: Mesh,
                          M=lambda r: p_ilu(r[None])[0]).x
         return x - jnp.mean(x)
 
-    def pc(v):
-        vu, vp = v[:4], v[4]
-        u_hat = f_inner(vu)
-        rp = sop.D.apply(unstack_state(u_hat, vel))["p"] + vp
-        x_a = p_inner(rp)
-        x_b = GtFG.apply({"p": x_a})["p"]
-        x_p = p_inner(x_b)
-        gxp = sop.G.apply({"p": x_p})
-        u = u_hat - f_inner(jnp.stack([gxp[f] for f in vel]))
-        return jnp.concatenate([u, x_p[None]])
-
-    return pc
+    return _lsc_apply(sop, GtFG, f_inner, p_inner)
 
 
 def sharded_solve(mop: MultiphaseOperator, b_state: dict, mesh: Mesh,

@@ -209,6 +209,16 @@ def make_lsc_pc(op: MultiphaseOperator,
     return apply
 
 
+def scaled32_apply(inner32: Callable, v64: jax.Array) -> jax.Array:
+    """Run an f32 inner solver on an f64 input: scale-normalize before the
+    cast (Krylov solves are scale-invariant; the input magnitude after the
+    LSC glue cancellations is not), solve in f32, rescale in f64. Shared by
+    the flat (make_lsc_pc_mixed) and stacked/sharded
+    (parallel.sharding.make_sharded_lsc_pc_mixed) mixed assemblies."""
+    s = jnp.maximum(jnp.max(jnp.abs(v64)), 1e-300)
+    return inner32((v64 / s).astype(jnp.float32)).astype(jnp.float64) * s
+
+
 def make_lsc_pc_mixed(op64: MultiphaseOperator,
                       f_inner32: Callable,
                       p_inner32: Callable,
@@ -240,11 +250,7 @@ def make_lsc_pc_mixed(op64: MultiphaseOperator,
     n = op64.grid.n
     f32, f64 = jnp.float32, jnp.float64
 
-    def scaled32(inner32, v64):
-        # scale-normalize before the cast (Krylov solves are scale-
-        # invariant; the input magnitude after glue cancellations is not)
-        s = jnp.maximum(jnp.max(jnp.abs(v64)), 1e-300)
-        return inner32((v64 / s).astype(f32)).astype(f64) * s
+    scaled32 = scaled32_apply
 
     if refine_inners:
         fmv64 = make_f_apply(op64)
