@@ -276,8 +276,13 @@ def dia_spmv_pallas_streamed(A: DIAMatrix, block_rows: int = 256,
     # within a _MERGE-row neighborhood share ONE window DMA. For the
     # multiphase A this is 7 clustered windows for K=35 at n=1024 (was 17
     # unmerged 8-aligned windows in r4), i.e. x-traffic (K+U+1)N instead of
-    # 2KN — the kernel's structural bound is HBM_BW * K/(K+U+1) slot rate
-    # (541 GB/s unmerged, 636 merged at K=35; see KERNELS_r05.json)
+    # 2KN — the kernel's structural bound is HBM_BW * K/(K+U+1) slot rate:
+    # 541 GB/s unmerged, 636 merged at K=35. Measured r5 on chip
+    # (KERNELS_r05.json, TR=256): 543 GB/s slot rate = 85% of the merged
+    # ceiling, 667 GB/s actual HBM — the same HBM efficiency as the
+    # resident kernel (702-714 GB/s of 819). The remaining gap to the
+    # ceiling is the per-program window-DMA latency; the r4 number was
+    # 310 GB/s (TR=64, unmerged).
     uniq, uidx, rems = _window_clusters(offs, N)
     U = len(uniq)
 

@@ -288,12 +288,20 @@ def make_sharded_lsc_pc_ilu(sop: MultiphaseOperator, mesh: Mesh,
     stencil halos and the inner-GMRES psums.
 
     Head-to-head verdict vs make_sharded_lsc_pc (measured r5, 8-device
-    virtual mesh, CONFIGS_r05.json): converges with outer counts in the MG
-    PC's band (both inner solves hit inner_tol), but on TPU each tri-solve
-    apply costs 199-812 ms (wavefront serialization, KERNELS_r04.json) vs
-    sub-ms MG V-cycles, so MG remains the production default; this PC
-    exists for reference parity and for operators whose blocks resist
-    geometric multigrid."""
+    virtual mesh, CONFIGS_r05.json): the pressure block is fine (GtG inner
+    hits 1e-4 in ~41 iterations), but ILU(0) is too weak for the
+    VELOCITY block at viscosity contrast 100 — the ILU(0)-preconditioned F
+    inner stalls at relres ~5e-3 regardless of budget (n=64 probe) and the
+    outer FGMRES stalls with it (512^2: relres 1.9e-2 after 150 outers;
+    the unsharded lsc_ilu0 stalls identically, so it is the factorization,
+    not the band dropping — the reference's own working configuration is
+    the near-complete ILUT(fill=100, tau=1e-3), reference solve.py:250-254,
+    whose value-dependent pattern does not stack across shards). At equal
+    viscosities the same PC converges at 512^2. On TPU each tri-solve
+    apply additionally costs 199-812 ms (wavefront serialization,
+    KERNELS_r04.json) vs sub-ms MG V-cycles, so MG is the production
+    default at any contrast; this PC exists for reference parity on
+    mildly-conditioned blocks."""
     from mpbp_tpu.models.fused import make_f_apply_stacked
     from mpbp_tpu.parallel.block_ilu import BlockJacobiILU
     from mpbp_tpu.solvers import gmres as krylov
