@@ -185,3 +185,42 @@ def test_fgmres_resumable_partial_iterate_valid(well_conditioned):
                                       max_steps=10)
     true_rel = float(jnp.linalg.norm(b - mv(part.x)) / jnp.linalg.norm(b))
     assert abs(true_rel - float(part.relres)) < 1e-8 * (1 + true_rel)
+
+
+def test_chunked_orthogonalization_matches_unchunked():
+    """The j-proportional chunked projections compute the same sums as the
+    full-basis contractions (rows beyond j are zero) — iterates and counts
+    match to reduction-reassociation level for both orthog variants."""
+    import numpy as np
+
+    rng = np.random.default_rng(3)
+    N = 96
+    A = jnp.asarray(rng.normal(size=(N, N)) + 4 * np.eye(N))
+    b = jnp.asarray(rng.normal(size=N))
+    mv = lambda v: A @ v  # noqa: E731
+    for orthog in ("cgs2", "cgs1"):
+        r_full = krylov.fgmres(mv, b, tol=1e-10, maxiter=40, orthog=orthog,
+                               chunked=False)
+        r_chunk = krylov.fgmres(mv, b, tol=1e-10, maxiter=40, orthog=orthog,
+                                chunked=True)
+        assert abs(int(r_full.iters) - int(r_chunk.iters)) <= 1, orthog
+        np.testing.assert_allclose(np.asarray(r_chunk.x),
+                                   np.asarray(r_full.x),
+                                   rtol=1e-8, atol=1e-9)
+
+
+def test_residual_norm_helper():
+    """gmres.residual_norm returns (b - A x, ||.||) as one jitted call —
+    the drivers' replacement for eager outer-loop applies (r5)."""
+    import numpy as np
+
+    rng = np.random.default_rng(4)
+    N = 64
+    A = jnp.asarray(rng.normal(size=(N, N)))
+    b = jnp.asarray(rng.normal(size=N))
+    x = jnp.asarray(rng.normal(size=N))
+    mv = lambda v: A @ v  # noqa: E731
+    r, nrm = krylov.residual_norm(mv, b, x)
+    np.testing.assert_allclose(np.asarray(r), np.asarray(b - A @ x),
+                               rtol=1e-12, atol=1e-12)
+    assert abs(float(nrm) - float(jnp.linalg.norm(r))) < 1e-10
