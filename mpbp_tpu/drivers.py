@@ -282,14 +282,23 @@ def _mixed_precision_solve(op64, op32, b_vec, pc: str, tol: float,
     """The 'ir'/'hybrid' solve bodies behind solve_multiphase(precision=...),
     returning a KrylovResult (see benchmarks/solve_tpu.py for the on-chip
     characterization of both modes)."""
+    import contextlib
+
     from mpbp_tpu.solvers.mixed import block_scales, fgmres_ir
 
+    # PC construction is eager setup work — keep it on the host CPU when
+    # the default device is an accelerator (see solve_multiphase)
+    setup_ctx = (jax.default_device(jax.devices("cpu")[0])
+                 if jax.default_backend() != "cpu"
+                 else contextlib.nullcontext())
     if precision == "hybrid":
-        M = make_preconditioner_mixed(op64, op32, pc, **pc_kwargs)
+        with setup_ctx:
+            M = make_preconditioner_mixed(op64, op32, pc, **pc_kwargs)
         return krylov.fgmres(a_matvec(op64), b_vec, tol=tol,
                              maxiter=maxiter, M=M, restart=restart)
 
-    M32 = make_preconditioner(op32, pc, dtype=jnp.float32, **pc_kwargs)
+    with setup_ctx:
+        M32 = make_preconditioner(op32, pc, dtype=jnp.float32, **pc_kwargs)
     res = fgmres_ir(a_matvec(op64), a_matvec(op32), b_vec, tol=tol,
                     max_outer=max(maxiter // 25, 4),
                     inner_tol=1e-6, inner_maxiter=min(maxiter, 150),
@@ -332,7 +341,10 @@ def solve_multiphase(n: int = 16, c: float = 1.0, d: float = -1.0,
     'full'/'hybrid', the inner f32 cycle length for 'ir' (required at
     1024^2+ hybrid — the unrestarted f64 V+Z basis exceeds HBM).
     """
+    import contextlib
+
     from mpbp_tpu.models.fields import constant_thn
+    from mpbp_tpu.utils.hoist import to_accelerator
 
     thn_fn_kwargs = {}
     if problem == "constant":
@@ -346,22 +358,38 @@ def solve_multiphase(n: int = 16, c: float = 1.0, d: float = -1.0,
     if precision != "full":
         dtype = jnp.float64           # the certified outer dtype
 
-    op = make_multiphase_operator(n, c=c, d=d, xi=xi, eta_n=eta_n,
-                                  eta_s=eta_s, dtype=dtype, **thn_fn_kwargs)
-    u_exact, b = mms.fill_sol_and_rhs(op.grid, prob)
-    b_vec = pack_fields(op, b)
-    u_vec = pack_fields(op, u_exact)
+    # Setup (assembly, MMS fill, PC construction) runs on the HOST CPU
+    # backend when the default device is an accelerator: these are eager
+    # op-by-op computations, and dispatching them through the remote-device
+    # relay measured 100-400 s per solve at 256^2 (CONFIGS r5 config-2 row
+    # before this fix) vs ~2 s on host. The solve itself runs on the
+    # accelerator: hoist_closure migrates the setup arrays there once.
+    setup_ctx = (jax.default_device(jax.devices("cpu")[0])
+                 if jax.default_backend() != "cpu"
+                 else contextlib.nullcontext())
+    with setup_ctx:
+        op = make_multiphase_operator(n, c=c, d=d, xi=xi, eta_n=eta_n,
+                                      eta_s=eta_s, dtype=dtype,
+                                      **thn_fn_kwargs)
+        u_exact, b = mms.fill_sol_and_rhs(op.grid, prob)
+        b_vec = pack_fields(op, b)
+        u_vec = pack_fields(op, u_exact)
+        op32 = None
+        if precision != "full":
+            op32 = make_multiphase_operator(n, c=c, d=d, xi=xi, eta_n=eta_n,
+                                            eta_s=eta_s, dtype=jnp.float32,
+                                            **thn_fn_kwargs)
+        M_setup = (make_preconditioner(op, pc, dtype=dtype, **pc_kwargs)
+                   if precision == "full" else None)
+    b_vec = to_accelerator(b_vec)
 
     mv_hot = a_matvec(op)
     true_hist = None
     if precision != "full":
-        op32 = make_multiphase_operator(n, c=c, d=d, xi=xi, eta_n=eta_n,
-                                        eta_s=eta_s, dtype=jnp.float32,
-                                        **thn_fn_kwargs)
         result = _mixed_precision_solve(op, op32, b_vec, pc, tol, maxiter,
                                         precision, pc_kwargs, restart)
     elif true_res_monitor:
-        M = make_preconditioner(op, pc, dtype=dtype, **pc_kwargs)
+        M = M_setup
         bnorm = float(jnp.linalg.norm(b_vec))
         x0 = jnp.zeros_like(b_vec)
         state, result, true_hist = None, None, []
@@ -374,11 +402,13 @@ def solve_multiphase(n: int = 16, c: float = 1.0, d: float = -1.0,
             if bool(result.converged) or int(result.iters) >= maxiter:
                 break
     else:
-        M = make_preconditioner(op, pc, dtype=dtype, **pc_kwargs)
-        result = krylov.fgmres(mv_hot, b_vec, tol=tol, maxiter=maxiter, M=M,
-                               restart=restart)
+        result = krylov.fgmres(mv_hot, b_vec, tol=tol, maxiter=maxiter,
+                               M=M_setup, restart=restart)
 
-    err = norms_report(result.x, u_vec, op.grid.dx, op.grid.dy)
+    # error norms on host (u_vec is host-resident setup data; mixing
+    # committed devices in one eager op is an error)
+    err = norms_report(jax.device_get(result.x), u_vec,
+                       op.grid.dx, op.grid.dy)
     hist = np.asarray(result.res_history)
     hist = hist[~np.isnan(hist)]
     # true final residual ||b - A x|| / ||b|| — the reference's monitor

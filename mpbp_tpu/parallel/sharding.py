@@ -296,8 +296,11 @@ def make_sharded_lsc_pc_ilu(sop: MultiphaseOperator, mesh: Mesh,
     the unsharded lsc_ilu0 stalls identically, so it is the factorization,
     not the band dropping — the reference's own working configuration is
     the near-complete ILUT(fill=100, tau=1e-3), reference solve.py:250-254,
-    whose value-dependent pattern does not stack across shards). At equal
-    viscosities the same PC converges at 512^2. On TPU each tri-solve
+    whose value-dependent pattern does not stack across shards; and a
+    per-band ILUT was measured structurally hopeless anyway: its level
+    schedule at 512^2 collapses to ~33k wavefront levels of WIDTH 4 —
+    essentially a sequential solve, at any fill). At equal viscosities the
+    same PC converges at 512^2. On TPU each tri-solve
     apply additionally costs 199-812 ms (wavefront serialization,
     KERNELS_r04.json) vs sub-ms MG V-cycles, so MG is the production
     default at any contrast; this PC exists for reference parity on
