@@ -38,10 +38,11 @@ run_step solve_ir     1800 python benchmarks/solve_tpu.py --n 512 --mode ir
 # hybrid needs tol 1e-10: at 512^2 a 7.5e-9 residual leaves ~4e-5 algebraic
 # error on top of the 2.3e-5 discretization error (see solve_tpu.py --mode)
 run_step solve_hyb    2400 python benchmarks/solve_tpu.py --n 512 --mode hybrid --tol 1e-10
-# restart 16: the unrestarted 32-dim f64 V+Z basis at N=5.24M peaks past the
-# 15.75G HBM (measured r4: 22-54G footprint; the recorded 30.5s/22-iter
-# SOLVE_r04 artifact ran restart=16 — ADVICE r4: the suite must match it)
-run_step solve_1024   3000 python benchmarks/solve_tpu.py --n 1024 --mode hybrid --tol 1e-10 --max-outer 4 --restart 16
+# r5 reconciliation (ADVICE r4): the unrestarted 1024^2 f64 basis FITS —
+# the r4 'OOM' was per-call const re-transfer inflation, fixed in r5 —
+# and unrestarted is fastest (5.2s/21 iters vs restart-16 5.6s/22,
+# SOLVE_r05). 2048^2 is the size that needs restart (16).
+run_step solve_1024   3000 python benchmarks/solve_tpu.py --n 1024 --mode hybrid --tol 1e-10 --max-outer 4
 run_step solve_1024ir 3000 python benchmarks/solve_tpu.py --n 1024 --mode ir
 run_step solve_2048   3000 python benchmarks/solve_tpu.py --n 2048 --mode ir --tol 1e-6 --max-outer 3
 echo "$(date +%T) suite done" >> $OUT/status.log

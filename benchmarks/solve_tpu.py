@@ -43,13 +43,15 @@ def main(argv=None):
     ap.add_argument("--max-outer", type=int, default=5)
     ap.add_argument("--restart", type=int, default=0,
                     help="hybrid mode: restarted FGMRES cycle length "
-                         "(bounds the f64 V+Z basis memory — the unrestarted "
-                         "32-dim basis at 1024^2 peaks over the 15.75G HBM, "
-                         "measured r4; 0 = no restart). Use the LARGEST "
-                         "cycle that fits: measured r4, 512^2 unrestarted "
-                         "5.2s vs restart-8 9.3s, and 1024^2 restart-16 "
-                         "30.5s vs restart-8 57.3s — restarts cost both "
-                         "extra iterations and per-cycle dispatch.")
+                         "(bounds the f64 V+Z basis memory; 0 = no "
+                         "restart). Use the LARGEST cycle that fits. "
+                         "Reconciled r5 (the r4 1024^2 'OOM' was inflated "
+                         "by per-call const re-transfers, since fixed): "
+                         "1024^2 UNRESTARTED fits and is fastest (5.2s, 21 "
+                         "iters vs restart-16 5.6s/22); 2048^2 needs "
+                         "restart (V+Z at 21M unknowns: 5.7GB at restart "
+                         "16) and restart-8 cycles stagnate near 2e-9 — "
+                         "use restart 16 for tol 1e-10.")
     ap.add_argument("--eta-n", type=float, default=100.0)
     ap.add_argument("--eta-s", type=float, default=1.0)
     ap.add_argument("--mode", choices=["ir", "f64", "hybrid"], default="ir",
