@@ -276,33 +276,107 @@ def make_preconditioner_mixed(op64: MultiphaseOperator,
     return pcs.make_lsc_pc_mixed(op64, f_inner32, p_inner32)
 
 
-def _mixed_precision_solve(op64, op32, b_vec, pc: str, tol: float,
-                           maxiter: int, precision: str, pc_kwargs: dict,
+@dataclasses.dataclass(eq=False)
+class _SolveSetup:
+    """Memoized per-configuration solve setup (see _solve_setup)."""
+
+    op: MultiphaseOperator
+    op32: MultiphaseOperator | None
+    M: Callable | None          # PC for the precision mode (None = no PC)
+    mv64: Callable              # flat matvec at the outer dtype
+    mv32: Callable | None       # f32 matvec (ir mode)
+    scale: jax.Array | None     # block equilibration (ir mode)
+    b_vec: jax.Array            # host-resident rhs
+    u_vec: jax.Array            # host-resident exact solution
+
+
+_SETUP_CACHE: dict = {}
+_SETUP_CACHE_MAX = 4
+
+
+def _solve_setup(n, c, d, xi, eta_n, eta_s, problem, dtype, pc, precision,
+                 pc_kwargs: dict) -> _SolveSetup:
+    """Build (or reuse) everything a solve needs except the Krylov loop.
+
+    Memoization is what makes a REPEATED solve warm: the returned closures
+    keep their identity, so the hoist cache and the jitted Krylov cycles
+    all hit. A fresh build per call re-traces and re-lowers the entire
+    solve — measured 410 s per 'warm' 256^2 f64 call on chip (CONFIGS r5
+    config-2, before this fix) vs seconds after it. Setup arrays are built
+    on the host CPU when the default backend is an accelerator (eager
+    assembly dispatched through the remote-device relay measured
+    100-400 s); hoist_closure migrates them to the device at first use."""
+    import contextlib
+
+    from mpbp_tpu.models.fields import constant_thn
+    from mpbp_tpu.solvers.mixed import block_scales
+
+    try:
+        key = (n, c, d, xi, eta_n, eta_s, problem, str(jnp.dtype(dtype)),
+               pc, precision, tuple(sorted(pc_kwargs.items())))
+        hit = _SETUP_CACHE.get(key)
+    except TypeError:             # unhashable pc_kwargs value
+        key, hit = None, None
+    if hit is not None:
+        return hit
+
+    thn_fn_kwargs = {}
+    if problem == "constant":
+        thn_fn_kwargs["thn_fn"] = constant_thn(0.75)
+        prob = mms.constant_thn_problem(c, d, xi, eta_n, eta_s)
+    else:
+        prob = mms.variable_thn_problem(c, d, xi, eta_n, eta_s)
+
+    setup_ctx = (jax.default_device(jax.devices("cpu")[0])
+                 if jax.default_backend() != "cpu"
+                 else contextlib.nullcontext())
+    with setup_ctx:
+        op = make_multiphase_operator(n, c=c, d=d, xi=xi, eta_n=eta_n,
+                                      eta_s=eta_s, dtype=dtype,
+                                      **thn_fn_kwargs)
+        u_exact, b = mms.fill_sol_and_rhs(op.grid, prob)
+        b_vec = pack_fields(op, b)
+        u_vec = pack_fields(op, u_exact)
+        op32, M, mv32, scale = None, None, None, None
+        if precision == "full":
+            M = make_preconditioner(op, pc, dtype=dtype, **pc_kwargs)
+        else:
+            op32 = make_multiphase_operator(n, c=c, d=d, xi=xi,
+                                            eta_n=eta_n, eta_s=eta_s,
+                                            dtype=jnp.float32,
+                                            **thn_fn_kwargs)
+            if precision == "hybrid":
+                M = make_preconditioner_mixed(op, op32, pc, **pc_kwargs)
+            else:
+                M = make_preconditioner(op32, pc, dtype=jnp.float32,
+                                        **pc_kwargs)
+                mv32 = a_matvec(op32)
+                scale = block_scales(op)
+    setup = _SolveSetup(op=op, op32=op32, M=M, mv64=a_matvec(op),
+                        mv32=mv32, scale=scale, b_vec=b_vec, u_vec=u_vec)
+    if key is not None:
+        if len(_SETUP_CACHE) >= _SETUP_CACHE_MAX:
+            _SETUP_CACHE.pop(next(iter(_SETUP_CACHE)))
+        _SETUP_CACHE[key] = setup
+    return setup
+
+
+def _mixed_precision_solve(setup: _SolveSetup, b_vec, tol: float,
+                           maxiter: int, precision: str,
                            restart: int | None = None):
     """The 'ir'/'hybrid' solve bodies behind solve_multiphase(precision=...),
     returning a KrylovResult (see benchmarks/solve_tpu.py for the on-chip
     characterization of both modes)."""
-    import contextlib
+    from mpbp_tpu.solvers.mixed import fgmres_ir
 
-    from mpbp_tpu.solvers.mixed import block_scales, fgmres_ir
-
-    # PC construction is eager setup work — keep it on the host CPU when
-    # the default device is an accelerator (see solve_multiphase)
-    setup_ctx = (jax.default_device(jax.devices("cpu")[0])
-                 if jax.default_backend() != "cpu"
-                 else contextlib.nullcontext())
     if precision == "hybrid":
-        with setup_ctx:
-            M = make_preconditioner_mixed(op64, op32, pc, **pc_kwargs)
-        return krylov.fgmres(a_matvec(op64), b_vec, tol=tol,
-                             maxiter=maxiter, M=M, restart=restart)
+        return krylov.fgmres(setup.mv64, b_vec, tol=tol,
+                             maxiter=maxiter, M=setup.M, restart=restart)
 
-    with setup_ctx:
-        M32 = make_preconditioner(op32, pc, dtype=jnp.float32, **pc_kwargs)
-    res = fgmres_ir(a_matvec(op64), a_matvec(op32), b_vec, tol=tol,
+    res = fgmres_ir(setup.mv64, setup.mv32, b_vec, tol=tol,
                     max_outer=max(maxiter // 25, 4),
                     inner_tol=1e-6, inner_maxiter=min(maxiter, 150),
-                    M32=M32, scale=block_scales(op64),
+                    M32=setup.M, scale=setup.scale,
                     inner_restart=restart)
     hist = jnp.asarray(np.concatenate(
         [np.asarray(res.history), [np.nan]]))
@@ -341,55 +415,25 @@ def solve_multiphase(n: int = 16, c: float = 1.0, d: float = -1.0,
     'full'/'hybrid', the inner f32 cycle length for 'ir' (required at
     1024^2+ hybrid — the unrestarted f64 V+Z basis exceeds HBM).
     """
-    import contextlib
-
-    from mpbp_tpu.models.fields import constant_thn
     from mpbp_tpu.utils.hoist import to_accelerator
-
-    thn_fn_kwargs = {}
-    if problem == "constant":
-        thn_fn_kwargs["thn_fn"] = constant_thn(0.75)
-        prob = mms.constant_thn_problem(c, d, xi, eta_n, eta_s)
-    else:
-        prob = mms.variable_thn_problem(c, d, xi, eta_n, eta_s)
 
     if precision not in ("full", "ir", "hybrid"):
         raise ValueError(f"unknown precision {precision!r}")
     if precision != "full":
         dtype = jnp.float64           # the certified outer dtype
 
-    # Setup (assembly, MMS fill, PC construction) runs on the HOST CPU
-    # backend when the default device is an accelerator: these are eager
-    # op-by-op computations, and dispatching them through the remote-device
-    # relay measured 100-400 s per solve at 256^2 (CONFIGS r5 config-2 row
-    # before this fix) vs ~2 s on host. The solve itself runs on the
-    # accelerator: hoist_closure migrates the setup arrays there once.
-    setup_ctx = (jax.default_device(jax.devices("cpu")[0])
-                 if jax.default_backend() != "cpu"
-                 else contextlib.nullcontext())
-    with setup_ctx:
-        op = make_multiphase_operator(n, c=c, d=d, xi=xi, eta_n=eta_n,
-                                      eta_s=eta_s, dtype=dtype,
-                                      **thn_fn_kwargs)
-        u_exact, b = mms.fill_sol_and_rhs(op.grid, prob)
-        b_vec = pack_fields(op, b)
-        u_vec = pack_fields(op, u_exact)
-        op32 = None
-        if precision != "full":
-            op32 = make_multiphase_operator(n, c=c, d=d, xi=xi, eta_n=eta_n,
-                                            eta_s=eta_s, dtype=jnp.float32,
-                                            **thn_fn_kwargs)
-        M_setup = (make_preconditioner(op, pc, dtype=dtype, **pc_kwargs)
-                   if precision == "full" else None)
-    b_vec = to_accelerator(b_vec)
+    setup = _solve_setup(n, c, d, xi, eta_n, eta_s, problem, dtype, pc,
+                         precision, pc_kwargs)
+    op, u_vec = setup.op, setup.u_vec
+    b_vec = to_accelerator(setup.b_vec)
 
-    mv_hot = a_matvec(op)
+    mv_hot = setup.mv64
     true_hist = None
     if precision != "full":
-        result = _mixed_precision_solve(op, op32, b_vec, pc, tol, maxiter,
-                                        precision, pc_kwargs, restart)
+        result = _mixed_precision_solve(setup, b_vec, tol, maxiter,
+                                        precision, restart)
     elif true_res_monitor:
-        M = M_setup
+        M = setup.M
         bnorm = float(jnp.linalg.norm(b_vec))
         x0 = jnp.zeros_like(b_vec)
         state, result, true_hist = None, None, []
@@ -403,7 +447,7 @@ def solve_multiphase(n: int = 16, c: float = 1.0, d: float = -1.0,
                 break
     else:
         result = krylov.fgmres(mv_hot, b_vec, tol=tol, maxiter=maxiter,
-                               M=M_setup, restart=restart)
+                               M=setup.M, restart=restart)
 
     # error norms on host (u_vec is host-resident setup data; mixing
     # committed devices in one eager op is an error)
