@@ -52,6 +52,12 @@ def main(argv=None):
                          "restart (V+Z at 21M unknowns: 5.7GB at restart "
                          "16) and restart-8 cycles stagnate near 2e-9 — "
                          "use restart 16 for tol 1e-10.")
+    ap.add_argument("--aug-k", type=int, default=0,
+                    help="hybrid mode with --restart: LGMRES augmented "
+                         "restarts — seed each cycle with the last k "
+                         "normalized cycle corrections (gmres.fgmres "
+                         "aug_k); targets the restarted-cycle stagnation "
+                         "of memory-bound cycle lengths (2048^2)")
     ap.add_argument("--eta-n", type=float, default=100.0)
     ap.add_argument("--eta-s", type=float, default=1.0)
     ap.add_argument("--mode", choices=["ir", "f64", "hybrid"], default="ir",
@@ -168,7 +174,8 @@ def main(argv=None):
             t0 = time.time()
             res = krylov.fgmres(mv64, b64, tol=args.tol,
                                 maxiter=8 * args.max_outer, M=M,
-                                restart=args.restart or None)
+                                restart=args.restart or None,
+                                aug_k=args.aug_k)
             # one jitted call; the old eager form dispatched ~100 relay ops
             _, rn = _krylov.residual_norm(mv64, b64, res.x)
             relres = float(rn) / bnorm               # fetch = device sync

@@ -182,13 +182,35 @@ def _arnoldi_init(matvec, b, x0, m: int, use_z: bool, tol,
 
 
 def _arnoldi_body(matvec, M, use_z: bool, orthog: str, m: int, tol,
-                  safe_bnorm, chunked: bool = False):
-    """The FGMRES iteration as a while_loop body over ArnoldiState."""
+                  safe_bnorm, chunked: bool = False, aug=None):
+    """The FGMRES iteration as a while_loop body over ArnoldiState.
+
+    `aug`: optional (k, *S) augmentation directions consumed as the LAST k
+    flexible directions of the cycle (z_j = aug[j - (m-k)] for j >= m-k
+    instead of M(v_j)) — the LGMRES augmented-restart scheme (Baker-
+    Jessup-Manteuffel 2005). The flexible recurrence never requires
+    z_j = M(v_j), so the minimization runs over K_{m-k} + span{aug} with
+    zero extra machinery: x = x0 + Z y already accounts for arbitrary Z
+    columns. The aug directions must come LAST: the Krylov chain grows
+    from whatever the previous v_j was, so aug-first would build the
+    'Krylov' part on A*aug instead of r0 (measured: aug-first is WORSE
+    than plain restarts; aug-last cuts the restarted iteration count).
+    Cycles seeded with the previous cycles' error directions break the
+    alternating stagnation plain restarts suffer on hard systems."""
 
     def body(carry):
         j, V, Z, H, cs, sn, g, hist, done = carry
         v = V[j]
-        z = M(v)
+        if aug is not None:
+            k_aug = aug.shape[0]
+            start = m - k_aug
+            z = jax.lax.cond(
+                j >= start,
+                lambda: aug[jnp.clip(j - start, 0, k_aug - 1)].astype(
+                    v.dtype),
+                lambda: M(v))
+        else:
+            z = M(v)
         w = matvec(z)
         if use_z:
             Z = Z.at[j].set(z)
@@ -366,7 +388,7 @@ def _arnoldi_solution(state: ArnoldiState, x0, m: int, M, use_z: bool,
                                    "orthog", "chunked"))
 def _fgmres_cycle(matvec, b, x0, tol, maxiter: int, M, use_z: bool,
                   orthog: str = "cgs2", mv_consts=(), M_consts=(),
-                  chunked: bool = False):
+                  chunked: bool = False, aug=None):
     """One FGMRES cycle. `b`/`x0` may be ANY array shape (1-D flat vectors or
     stacked grid fields (5, n, n) for the sharded path); the Krylov basis adds
     a leading axis. matvec/M are hoisted forms fn(v, *consts) — see _hoist —
@@ -383,7 +405,8 @@ def _fgmres_cycle(matvec, b, x0, tol, maxiter: int, M, use_z: bool,
     safe_bnorm = jnp.where(b_norm == 0, 1.0, b_norm)
 
     state = _arnoldi_init(mv, b, x0, m, use_z, tol, chunked)
-    body = _arnoldi_body(mv, Mp, use_z, orthog, m, tol, safe_bnorm, chunked)
+    body = _arnoldi_body(mv, Mp, use_z, orthog, m, tol, safe_bnorm, chunked,
+                         aug)
 
     def cond(c):
         return (~c.done) & (c.j < m)
@@ -446,8 +469,8 @@ def fgmres_resumable(matvec: Callable, b: jax.Array,
 def fgmres(matvec: Callable, b: jax.Array, x0: jax.Array | None = None,
            tol: float = 1e-8, maxiter: int = 100,
            M: Callable | None = None, restart: int | None = None,
-           orthog: str = "cgs2", chunked: bool | None = None
-           ) -> KrylovResult:
+           orthog: str = "cgs2", chunked: bool | None = None,
+           aug_k: int = 0) -> KrylovResult:
     """Flexible right-preconditioned GMRES.
 
     Matches the reference usage (pyamg fgmres with restrt=None, reference
@@ -459,6 +482,14 @@ def fgmres(matvec: Callable, b: jax.Array, x0: jax.Array | None = None,
     fused all-reduce per iteration with a Pythagorean norm estimate —
     the right choice when the mesh spans hosts and reduction latency rivals
     the matvec, BASELINE configs[4]).
+
+    aug_k > 0 (restarted solves only) enables LGMRES-style AUGMENTED
+    restarts: each cycle's first aug_k flexible directions are the
+    normalized error approximations dx of the previous cycles, so the
+    minimization runs over span{dx_prev} + K_{restart-aug_k}. This breaks
+    the alternating stagnation plain restarts suffer when the restart
+    length is memory-bound (measured r5, 2048^2 hybrid restart 15: 116
+    plain restarted iterations vs 21 unrestarted at 1024^2).
     """
     if x0 is None:
         x0 = jnp.zeros_like(b)
@@ -471,7 +502,7 @@ def fgmres(matvec: Callable, b: jax.Array, x0: jax.Array | None = None,
                              mvc, Mc, chunked)
 
     return _restarted(matvec, b, x0, tol, maxiter, restart, M, True, orthog,
-                      mvc, Mc, chunked)
+                      mvc, Mc, chunked, aug_k)
 
 
 def gmres(matvec: Callable, b: jax.Array, x0: jax.Array | None = None,
@@ -522,25 +553,39 @@ def _host_scalar(x):
 
 
 def _restarted(matvec, b, x0, tol, maxiter, restart, M, use_z, orthog,
-               mv_consts=(), M_consts=(), chunked: bool = False
-               ) -> KrylovResult:
+               mv_consts=(), M_consts=(), chunked: bool = False,
+               aug_k: int = 0) -> KrylovResult:
     """Host loop over jitted cycles with a correctly stitched history.
 
     The stitched history has one entry per residual-norm estimate: the
     initial residual, then one per iteration — a cycle's entry 0 duplicates
     the previous cycle's final residual, so it is dropped for every cycle
-    after the first. `iters` therefore always equals len(history) - 1."""
+    after the first. `iters` therefore always equals len(history) - 1.
+
+    aug_k > 0 keeps the last aug_k normalized cycle corrections dx and
+    seeds the next cycle with them (LGMRES augmentation; see fgmres)."""
     x = x0
     total_iters = 0
     hists = []
     result = None
     remaining = maxiter
+    augs: list = []
     while remaining > 0:
         cycle = min(restart, remaining)
+        # aug needs room for a genuine Krylov part (cycle > k+1); the final
+        # short cycle runs plain
+        aug = (jnp.stack(augs) if augs and cycle > len(augs) + 1 else None)
         result = _fgmres_cycle(matvec, b, x, tol, cycle, M, use_z, orthog,
-                               mv_consts, M_consts, chunked)
-        x = result.x
+                               mv_consts, M_consts, chunked, aug)
         it = int(_host_scalar(result.iters))
+        if aug_k > 0 and it > 0:
+            dx = result.x - x
+            nrm = float(_host_scalar(jnp.sqrt(jnp.sum(dx * dx))))
+            if nrm > 0:
+                augs = (augs + [dx / nrm])[-aug_k:]
+            else:               # no progress: next cycle runs plain
+                augs = []
+        x = result.x
         total_iters += it
         h = _host_scalar(result.res_history)[: it + 1]
         hists.append(h if not hists else h[1:])

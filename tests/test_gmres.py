@@ -224,3 +224,25 @@ def test_residual_norm_helper():
     np.testing.assert_allclose(np.asarray(r), np.asarray(b - A @ x),
                                rtol=1e-12, atol=1e-12)
     assert abs(float(nrm) - float(jnp.linalg.norm(r))) < 1e-10
+
+
+def test_augmented_restart_converges_correctly():
+    """LGMRES augmented restarts (fgmres aug_k>0): converge to the same
+    solution as plain restarts, with the aug machinery engaged (the last k
+    cycle corrections seed each cycle — solvers/gmres._arnoldi_body)."""
+    import numpy as np
+
+    rng = np.random.default_rng(7)
+    N = 200
+    A = jnp.asarray(np.diag(np.linspace(0.05, 1.0, N))
+                    + 0.2 * np.triu(rng.normal(size=(N, N)), 1) / np.sqrt(N))
+    b = jnp.asarray(rng.normal(size=N))
+    mv = lambda v: A @ v  # noqa: E731
+    r0 = krylov.fgmres(mv, b, tol=1e-10, maxiter=600, restart=15)
+    for k in (1, 2):
+        r = krylov.fgmres(mv, b, tol=1e-10, maxiter=600, restart=15,
+                          aug_k=k)
+        assert bool(r.converged), (k, float(r.relres))
+        res = float(jnp.linalg.norm(b - A @ r.x) / jnp.linalg.norm(b))
+        assert res < 1e-9, (k, res)
+    assert bool(r0.converged)
