@@ -480,7 +480,7 @@ def solve_multiphase_sharded(n: int = 256, c: float = 1.0, d: float = -1.0,
                              eta_s: float = 1.0, pc: str = "mg",
                              tol: float = 1e-8, maxiter: int = 100,
                              precision: str = "f64",
-                             restart: int | None = None,
+                             restart: int | None = None, aug_k: int = 0,
                              inner_tol: float = 1e-4, inner_iters: int = 40,
                              n_devices: int | None = None,
                              problem: str = "variable") -> SolveReport:
@@ -535,7 +535,7 @@ def solve_multiphase_sharded(n: int = 256, c: float = 1.0, d: float = -1.0,
                                    setup_op=op)
 
     res = sh.sharded_solve(sop, b, mesh, tol=tol, maxiter=maxiter, pc=M,
-                           restart=restart)
+                           restart=restart, aug_k=aug_k)
     x_state = sh.unstack_state(res.x)
     err = norms_report(x_state, u_exact, op.grid.dx, op.grid.dy)
     hist = np.asarray(res.res_history)

@@ -340,7 +340,7 @@ def sharded_solve(mop: MultiphaseOperator, b_state: dict, mesh: Mesh,
                   pc: Callable | None = None, axis: str = "x",
                   orthog: str = "cgs2", fused: bool = True,
                   pallas: bool = False, x0=None,
-                  restart: int | None = None):
+                  restart: int | None = None, aug_k: int = 0):
     """FGMRES on the row-sharded multiphase system.
 
     The returned work runs fully SPMD: stencil applies exchange halos over
@@ -391,7 +391,8 @@ def sharded_solve(mop: MultiphaseOperator, b_state: dict, mesh: Mesh,
         # carries the sharded buffers. Bounds the Krylov basis memory —
         # required for the f64 outer at 2048^2 (VERDICT r4 item #2).
         return krylov.fgmres(mv, b, x0=x0s, tol=tol, maxiter=maxiter,
-                             M=pc, orthog=orthog, restart=restart)
+                             M=pc, orthog=orthog, restart=restart,
+                             aug_k=aug_k)
 
     @partial(jax.jit, out_shardings=None)
     def run(bv, x0v):
