@@ -44,5 +44,8 @@ run_step solve_hyb    2400 python benchmarks/solve_tpu.py --n 512 --mode hybrid 
 # SOLVE_r05). 2048^2 is the size that needs restart (16).
 run_step solve_1024   3000 python benchmarks/solve_tpu.py --n 1024 --mode hybrid --tol 1e-10 --max-outer 4
 run_step solve_1024ir 3000 python benchmarks/solve_tpu.py --n 1024 --mode ir
-run_step solve_2048   3000 python benchmarks/solve_tpu.py --n 2048 --mode ir --tol 1e-6 --max-outer 3
+# 2048^2 converges single-chip (r5): restart 15 fits the chunk-aligned
+# 16-row f64 basis in HBM; aug-k 2 (LGMRES) breaks restart stagnation
+# (72 iters/99s vs 116/170 plain, L2 1.456e-6 = discretization level)
+run_step solve_2048   4200 python benchmarks/solve_tpu.py --n 2048 --mode hybrid --tol 1e-10 --restart 15 --max-outer 15 --aug-k 2
 echo "$(date +%T) suite done" >> $OUT/status.log
