@@ -38,7 +38,13 @@ def main(argv=None):
     ap.add_argument("--n", type=int, default=512)
     ap.add_argument("--tol", type=float, default=1e-8)
     ap.add_argument("--pc", default="lsc_mg_full")
-    ap.add_argument("--inner-tol", type=float, default=1e-6)
+    ap.add_argument("--inner-tol", type=float, default=1e-6,
+                    help="ir mode: f32 inner FGMRES cycle tolerance")
+    ap.add_argument("--pc-inner-tol", type=float, default=1e-4,
+                    help="LSC PC inner-solve tolerance (F-GMRES/MG). "
+                         "Measured r5: 1e-3 keeps the same outer counts at "
+                         "512^2/1024^2 and is ~12% faster per iteration "
+                         "than the 1e-4 default")
     ap.add_argument("--inner-maxiter", type=int, default=40)
     ap.add_argument("--max-outer", type=int, default=5)
     ap.add_argument("--restart", type=int, default=0,
@@ -149,7 +155,8 @@ def main(argv=None):
         if args.mode == "f64":
             with setup_on_host:
                 M = make_preconditioner(op64, args.pc, dtype=jnp.float64,
-                                        inner_tol=1e-4, inner_iters=40,
+                                        inner_tol=args.pc_inner_tol,
+                                        inner_iters=40,
                                         fused_pallas=False)
         else:
             # f64 LSC formula glue around f32 inner solves: measured on
@@ -158,9 +165,12 @@ def main(argv=None):
             # D/G/GtFG products caps the PC quality. The mixed assembly keeps
             # those products in f64 (cheap: they are O(nnz) stencil applies)
             # while all inner MG/Krylov work stays f32.
+            # --inner-tol trade (measured r5): 1e-3 runs the same outer
+            # counts as the 1e-4 default at 512^2/1024^2 (18/21 iters) and
+            # is ~12% faster per iteration (0.86 vs 0.99 s / 4.57 vs 5.13 s)
             with setup_on_host:
                 M = make_preconditioner_mixed(op64, op32, args.pc,
-                                              inner_tol=1e-4,
+                                              inner_tol=args.pc_inner_tol,
                                               inner_iters=40,
                                               fused_pallas=use_pallas)
         t_pc = time.time() - t0
@@ -196,7 +206,8 @@ def main(argv=None):
         t0 = time.time()
         with setup_on_host:
             M32 = make_preconditioner(op32, args.pc, dtype=jnp.float32,
-                                      inner_tol=1e-4, inner_iters=40,
+                                      inner_tol=args.pc_inner_tol,
+                                      inner_iters=40,
                                       fused_pallas=use_pallas)
         # hot matvec: hand-fused Pallas kernel when it compiles on this
         # toolchain (judge r2 item #1: the hero kernel in the solve loop);
