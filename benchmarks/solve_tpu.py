@@ -44,7 +44,11 @@ def main(argv=None):
                     help="LSC PC inner-solve tolerance (F-GMRES/MG). "
                          "Measured r5: 1e-3 keeps the same outer counts at "
                          "512^2/1024^2 and is ~12% faster per iteration "
-                         "than the 1e-4 default")
+                         "than the 1e-4 default; do NOT relax it in the "
+                         "heavily-restarted 2048^2 regime (measured: "
+                         "restart-15 aug-2 stalls at 3.1e-9 with 1e-3 vs "
+                         "1.8e-10 with 1e-4 — cycle truncation amplifies "
+                         "PC inexactness)")
     ap.add_argument("--inner-maxiter", type=int, default=40)
     ap.add_argument("--max-outer", type=int, default=5)
     ap.add_argument("--restart", type=int, default=0,
