@@ -51,7 +51,8 @@ def log(*a):
 
 def solve_once(n: int, n_devices: int, pc_kind: str, tol: float,
                maxiter: int, inner_tol: float, inner_iters: int,
-               precision: str = "f64", restart: int | None = None):
+               precision: str = "f64", restart: int | None = None,
+               aug_k: int = 0):
     import jax
 
     jax.config.update("jax_enable_x64", True)
@@ -100,7 +101,7 @@ def solve_once(n: int, n_devices: int, pc_kind: str, tol: float,
 
     t0 = time.time()
     res = sh.sharded_solve(sop, b, mesh, tol=tol, maxiter=maxiter, pc=M,
-                           restart=restart)
+                           restart=restart, aug_k=aug_k)
     relres = float(res.relres)
     t_solve = time.time() - t0
 
@@ -122,6 +123,8 @@ def solve_once(n: int, n_devices: int, pc_kind: str, tol: float,
     }
     if restart is not None:
         r["restart"] = restart
+    if aug_k:
+        r["aug_k"] = aug_k
     if jax.devices()[0].platform == "cpu":
         # judge r3 weak #8: without this note a reader comparing solve_s
         # across device counts concludes sharding slows the solve down
@@ -146,6 +149,8 @@ def main(argv=None):
                          "MG/Krylov solves (make_sharded_lsc_pc_mixed)")
     ap.add_argument("--restart", type=int, default=None,
                     help="restarted outer cycles (bounds f64 basis memory)")
+    ap.add_argument("--aug-k", type=int, default=0,
+                    help="LGMRES augmented restarts (gmres.fgmres aug_k)")
     ap.add_argument("--invariance", action="store_true",
                     help="run every device count and assert equal iters")
     args = ap.parse_args(argv)
@@ -154,7 +159,8 @@ def main(argv=None):
     for nd in args.devices:
         r = solve_once(args.n, nd, args.pc, args.tol, args.maxiter,
                        args.inner_tol, args.inner_iters,
-                       precision=args.precision, restart=args.restart)
+                       precision=args.precision, restart=args.restart,
+                       aug_k=args.aug_k)
         print(json.dumps(r), flush=True)
         results.append(r)
 
